@@ -1,0 +1,45 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests emulate a TPU slice via
+``--xla_force_host_platform_device_count`` (the standard JAX recipe for
+testing pjit/shard_map layouts without hardware). Must be set before jax
+imports anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return (REFERENCE_DIR / "newsvendor.py").exists()
+
+
+@pytest.fixture(scope="session")
+def reference_modules():
+    """Import the reference envs as a live oracle (dev-time only).
+
+    Tests using this fixture are skipped when the reference checkout is not
+    present; the hardcoded goldens in test_parity_golden.py are the permanent
+    record.
+    """
+    if not reference_available():
+        pytest.skip("reference repo not available")
+    sys.path.insert(0, str(REFERENCE_DIR))
+    import newsvendor as ref_newsvendor  # noqa
+    import inventory_management as ref_inv  # noqa
+    import network_management as ref_net  # noqa
+    import network_management_custom as ref_net_custom  # noqa
+    return dict(newsvendor=ref_newsvendor, inv=ref_inv, net=ref_net,
+                net_custom=ref_net_custom)
