@@ -1,0 +1,109 @@
+"""Multi-chip / multi-host scaling via jax.sharding + shard_map.
+
+The reference has no parallelism of its own (SURVEY.md §2.5: DummyVecEnv with
+n_envs=1; Ray workers only as an optional RLlib path). The TPU-native design
+replaces all of it with a single-program device mesh:
+
+- the env batch is sharded along one ``env`` axis; env shards never
+  communicate (embarrassingly parallel lockstep batch, all collectives ride
+  ICI only for metric reductions via ``psum``);
+- the PPO learner runs data-parallel over the same axis, with gradient
+  ``psum`` inside the jitted train step (agents/ppo.py);
+- multi-host bring-up uses ``jax.distributed.initialize()`` over DCN; all
+  steady-state communication is compiled into the program.
+
+Tests emulate an 8-device slice on CPU via
+``--xla_force_host_platform_device_count`` (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from or_gym_inventory_tpu.envs.base import Environment
+from or_gym_inventory_tpu.vector import vecenv
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (DCN is used only here and for metrics host
+    transfer; all steady-state comms compile to ICI collectives)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "env") -> Mesh:
+    """1-D mesh over all (or given) devices; the env batch shards along it."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "env"):
+    """Place a batch-leading pytree so its leading axis is sharded over the
+    mesh (host->device placement for pre-built batches)."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), x)
+
+
+def sharded_rollout(env: Environment, params, policy_fn: Callable, policy_state,
+                    key: jax.Array, num_envs: int, num_steps: int,
+                    mesh: Optional[Mesh] = None, axis_name: str = "env"):
+    """``vector.rollout`` sharded over a device mesh.
+
+    ``num_envs`` is the GLOBAL batch; each device runs num_envs/n_devices
+    instances with an independently folded key. Returns the time-major
+    trajectory (sharded along the env axis) and the psum-reduced total reward
+    — the only cross-device communication in the program.
+    """
+    mesh = mesh or make_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    local_envs = num_envs // n_dev
+
+    def per_device(key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+        carry, traj = vecenv.rollout(
+            env, params, policy_fn, policy_state, key, local_envs, num_steps)
+        total = jax.lax.psum(jnp.sum(traj.reward), axis_name)
+        return traj, total
+
+    # A single spec is a pytree prefix: every Trajectory leaf is time-major
+    # (T, env, ...), sharded on its second axis.
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=P(axis_name),
+                       out_specs=(P(None, axis_name), P()), check_vma=False)
+    keys = jax.random.split(key, n_dev)
+    return jax.jit(fn)(keys)
+
+
+def sharded_evaluate(env: Environment, params, policy_fn: Callable,
+                     policy_state, key: jax.Array, num_envs: int,
+                     mesh: Optional[Mesh] = None, axis_name: str = "env"):
+    """One fixed-horizon episode per env, sharded; returns (per-env totals
+    gathered along the env axis, global mean reward scalar)."""
+    mesh = mesh or make_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    local_envs = num_envs // n_dev
+
+    def per_device(key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+        totals, _ = vecenv.evaluate_episodes(
+            env, params, policy_fn, policy_state, key, local_envs)
+        mean = jax.lax.pmean(jnp.mean(totals), axis_name)
+        return totals, mean
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=P(axis_name),
+                       out_specs=(P(axis_name), P()), check_vma=False)
+    keys = jax.random.split(key, n_dev)
+    totals, mean = jax.jit(fn)(keys)
+    return totals, mean

@@ -8,11 +8,17 @@ imports anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so
+# env vars alone are too late — force the platform via config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

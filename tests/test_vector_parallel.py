@@ -1,0 +1,82 @@
+"""Vector batching + device-mesh sharding tests (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from or_gym_inventory_tpu.envs import newsvendor as nv
+from or_gym_inventory_tpu.envs import inv_management as im
+from or_gym_inventory_tpu.vector import vecenv
+from or_gym_inventory_tpu.parallel import mesh as pmesh
+
+
+def random_policy(env, params):
+    space = env.action_space(params)
+    def policy(_state, obs, key):
+        return space.sample(key, (obs.shape[0],))
+    return policy
+
+
+def test_batched_rollout_shapes():
+    params = nv.default_params()
+    carry, traj = vecenv.rollout(
+        nv.ENV, params, random_policy(nv.ENV, params), None,
+        jax.random.PRNGKey(0), num_envs=16, num_steps=10)
+    assert traj.obs.shape == (10, 16, params.obs_dim)
+    assert traj.reward.shape == (10, 16)
+    assert traj.done.shape == (10, 16)
+
+
+def test_auto_reset_restarts_episodes():
+    params = nv.default_params(step_limit=4)
+    carry, traj = vecenv.rollout(
+        nv.ENV, params, random_policy(nv.ENV, params), None,
+        jax.random.PRNGKey(1), num_envs=8, num_steps=9)
+    done = np.asarray(traj.done)
+    # fixed horizon: done at steps 3 and 7 (0-indexed), lockstep across envs
+    assert done[3].all() and done[7].all()
+    assert not done[[0, 1, 2, 4, 5, 6, 8]].any()
+    # step counters restarted: info step_count cycles
+    sc = np.asarray(traj.info["step_count"])
+    assert (sc[4] == 1).all()
+
+
+def test_evaluate_episodes_totals():
+    params = im.default_params(periods=10)
+    totals, traj = vecenv.evaluate_episodes(
+        im.ENV, params, random_policy(im.ENV, params), None,
+        jax.random.PRNGKey(2), 32)
+    assert totals.shape == (32,)
+    np.testing.assert_allclose(
+        np.asarray(totals), np.asarray(traj.reward).sum(0), rtol=1e-5)
+
+
+def test_sharded_rollout_over_8_devices():
+    assert jax.device_count() == 8, jax.devices()
+    params = nv.default_params()
+    traj, total = pmesh.sharded_rollout(
+        nv.ENV, params, random_policy(nv.ENV, params), None,
+        jax.random.PRNGKey(3), num_envs=64, num_steps=5)
+    assert traj.reward.shape == (5, 64)
+    np.testing.assert_allclose(float(total), np.asarray(traj.reward).sum(),
+                               rtol=1e-4)
+
+
+def test_sharded_evaluate_matches_mean():
+    params = im.default_params(periods=8)
+    totals, mean = pmesh.sharded_evaluate(
+        im.ENV, params, random_policy(im.ENV, params), None,
+        jax.random.PRNGKey(4), num_envs=32)
+    assert totals.shape == (32,)
+    np.testing.assert_allclose(float(mean), np.asarray(totals).mean(), rtol=1e-5)
+
+
+def test_device_shards_are_independent():
+    """Same global key, different device -> different episodes (folded keys)."""
+    params = nv.default_params()
+    traj, _ = pmesh.sharded_rollout(
+        nv.ENV, params, random_policy(nv.ENV, params), None,
+        jax.random.PRNGKey(5), num_envs=8, num_steps=3)
+    # each device hosts exactly 1 env here; rewards should differ across them
+    r = np.asarray(traj.reward)
+    assert len({round(float(x), 3) for x in r[0]}) > 1
