@@ -69,10 +69,13 @@ def rollout(env: Environment, params, policy_fn: Callable, policy_state,
             init_carry: Optional[Any] = None):
     """Run ``num_steps`` across ``num_envs`` instances in one fused scan.
 
-    ``policy_fn(policy_state, obs_batch, key) -> action_batch`` is any pure
-    function (heuristic policies, flax MLP apply, random). Returns
-    ``((state, obs, key), Trajectory)``; pass the carry back in to continue a
-    rollout across learner updates without re-resetting.
+    ``policy_fn(policy_state, obs_batch, key, t) -> action_batch`` is any
+    pure function (heuristic policies, flax MLP apply, random); ``t`` is the
+    scan step index (time-dependent heuristics like base-stock need the
+    in-episode period; under lockstep fixed horizons the two coincide when
+    the rollout starts at reset). Returns ``((state, obs, key), Trajectory)``;
+    pass the carry back in to continue a rollout across learner updates
+    without re-resetting.
     """
     if init_carry is None:
         reset_key, key = jax.random.split(key)
@@ -81,10 +84,10 @@ def rollout(env: Environment, params, policy_fn: Callable, policy_state,
     else:
         state, obs = init_carry
 
-    def scan_step(carry, _):
+    def scan_step(carry, t):
         state, obs, key = carry
         act_key, step_key, reset_key, key = jax.random.split(key, 4)
-        action = policy_fn(policy_state, obs, act_key)
+        action = policy_fn(policy_state, obs, act_key, t)
         state, ts = batch_step(env, params, state, action, step_key, num_envs)
         state, next_obs = auto_reset(env, params, state, ts, reset_key, num_envs)
         traj = Trajectory(obs=obs, action=action, reward=ts.reward,
@@ -92,7 +95,7 @@ def rollout(env: Environment, params, policy_fn: Callable, policy_state,
         return (state, next_obs, key), traj
 
     (state, obs, key), traj = jax.lax.scan(
-        scan_step, (state, obs, key), None, length=num_steps)
+        scan_step, (state, obs, key), jnp.arange(num_steps))
     return (state, obs, key), traj
 
 
@@ -106,16 +109,16 @@ def evaluate_episodes(env: Environment, params, policy_fn: Callable,
     reset_key, key = jax.random.split(key)
     state, ts0 = batch_reset(env, params, reset_key, num_envs)
 
-    def scan_step(carry, _):
+    def scan_step(carry, t):
         state, obs, key = carry
         act_key, step_key, key = jax.random.split(key, 3)
-        action = policy_fn(policy_state, obs, act_key)
+        action = policy_fn(policy_state, obs, act_key, t)
         state, ts = batch_step(env, params, state, action, step_key, num_envs)
         traj = Trajectory(obs=obs, action=action, reward=ts.reward,
                           done=ts.done, next_obs=ts.obs, info=ts.info)
         return (state, ts.obs, key), traj
 
     (state, _, _), traj = jax.lax.scan(
-        scan_step, (state, ts0.obs, key), None, length=horizon)
+        scan_step, (state, ts0.obs, key), jnp.arange(horizon))
     totals = jnp.sum(traj.reward, axis=0)
     return totals, traj

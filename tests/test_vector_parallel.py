@@ -12,7 +12,7 @@ from or_gym_inventory_tpu.parallel import mesh as pmesh
 
 def random_policy(env, params):
     space = env.action_space(params)
-    def policy(_state, obs, key):
+    def policy(_state, obs, key, _t):
         return space.sample(key, (obs.shape[0],))
     return policy
 
