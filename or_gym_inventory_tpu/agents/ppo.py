@@ -1,0 +1,482 @@
+"""On-device PPO actor-learner.
+
+Replaces the reference's SB3/RLlib training paths (SB3AgentWrapper,
+benchmark_InvManagementBacklogEnv.py:201-342; RLlibAgentWrapper,
+benchmark_NetInvMgmtLostSalesEnv_sb3_rllib.py:264-361) with a single jitted
+program per update: rollout (policy inference + env step fused in one
+``lax.scan``) -> GAE -> minibatched clipped-surrogate SGD. No actor/learner
+process split, no replay over sockets — the env batch lives on device and
+the learner consumes it in place.
+
+Scaling: ``mesh`` shards the env batch over devices (data parallel); the
+ONLY cross-device communication is gradient/statistic ``psum`` inside the
+update — compiled XLA collectives over ICI.
+
+Host-side ``PPOAgent`` speaks the reference BaseAgent protocol (train /
+load / get_action / get_training_time) including checkpoint shortcutting
+(skip retrain when a checkpoint matches, reference :243-250) and per-update
+training logs for learning-curve plots.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from or_gym_inventory_tpu.agents import networks
+from or_gym_inventory_tpu.agents.base import BaseAgent
+from or_gym_inventory_tpu.envs.base import Environment
+from or_gym_inventory_tpu.vector import vecenv
+
+
+@struct.dataclass
+class PPOConfig:
+    num_envs: int = struct.field(pytree_node=False, default=1024)
+    rollout_steps: int = struct.field(pytree_node=False, default=64)
+    lr: float = struct.field(pytree_node=False, default=3e-4)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    gae_lambda: float = struct.field(pytree_node=False, default=0.95)
+    clip_eps: float = struct.field(pytree_node=False, default=0.2)
+    update_epochs: int = struct.field(pytree_node=False, default=4)
+    num_minibatches: int = struct.field(pytree_node=False, default=8)
+    ent_coef: float = struct.field(pytree_node=False, default=0.0)
+    vf_coef: float = struct.field(pytree_node=False, default=0.5)
+    max_grad_norm: float = struct.field(pytree_node=False, default=0.5)
+    pi_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(64, 64))
+    vf_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(64, 64))
+    activation: str = struct.field(pytree_node=False, default="tanh")
+    anneal_lr: bool = struct.field(pytree_node=False, default=True)
+    normalize_obs: bool = struct.field(pytree_node=False, default=True)
+    normalize_reward: bool = struct.field(pytree_node=False, default=False)
+
+    def num_updates(self, total_timesteps: int) -> int:
+        return max(1, total_timesteps // (self.num_envs * self.rollout_steps))
+
+
+@struct.dataclass
+class RunningMeanStd:
+    mean: jax.Array
+    var: jax.Array
+    count: jax.Array
+
+    @classmethod
+    def create(cls, dim: int):
+        return cls(mean=jnp.zeros((dim,), jnp.float32),
+                   var=jnp.ones((dim,), jnp.float32),
+                   count=jnp.asarray(1e-4, jnp.float32))
+
+    def update(self, batch: jax.Array, axis_name: Optional[str] = None):
+        """Welford batch update; with ``axis_name`` the statistics are
+        psum-combined so replicas stay identical."""
+        x = batch.reshape(-1, batch.shape[-1]).astype(jnp.float32)
+        n = jnp.asarray(x.shape[0], jnp.float32)
+        s = jnp.sum(x, axis=0)
+        ss = jnp.sum(x * x, axis=0)
+        if axis_name is not None:
+            n = jax.lax.psum(n, axis_name)
+            s = jax.lax.psum(s, axis_name)
+            ss = jax.lax.psum(ss, axis_name)
+        b_mean = s / n
+        b_var = jnp.maximum(ss / n - b_mean ** 2, 0.0)
+        delta = b_mean - self.mean
+        tot = self.count + n
+        new_mean = self.mean + delta * n / tot
+        m_a = self.var * self.count
+        m_b = b_var * n
+        new_var = (m_a + m_b + delta ** 2 * self.count * n / tot) / tot
+        return RunningMeanStd(mean=new_mean, var=new_var, count=tot)
+
+    def normalize(self, x: jax.Array) -> jax.Array:
+        return (x.astype(jnp.float32) - self.mean) / jnp.sqrt(self.var + 1e-8)
+
+
+@struct.dataclass
+class PPOTrainState:
+    params: dict
+    opt_state: optax.OptState
+    rms: RunningMeanStd
+    env_state: object
+    last_obs: jax.Array
+    update_idx: jax.Array
+
+
+def _make_model(env: Environment, env_params, cfg: PPOConfig):
+    space = env.action_space(env_params)
+    return networks.MLPActorCritic(
+        action_dim=int(np.prod(space.shape)), pi_arch=cfg.pi_arch,
+        vf_arch=cfg.vf_arch, activation=cfg.activation)
+
+
+def _optimizer(cfg: PPOConfig, total_updates: int):
+    if cfg.anneal_lr:
+        sched = optax.linear_schedule(
+            cfg.lr, 0.0,
+            max(1, total_updates * cfg.update_epochs * cfg.num_minibatches))
+        return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                           optax.adam(sched, eps=1e-5))
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                       optax.adam(cfg.lr, eps=1e-5))
+
+
+def init_train_state(env: Environment, env_params, cfg: PPOConfig,
+                     key: jax.Array, total_updates: int,
+                     local_envs: Optional[int] = None) -> PPOTrainState:
+    model = _make_model(env, env_params, cfg)
+    obs_dim = env.observation_space(env_params).shape[0]
+    n = local_envs or cfg.num_envs
+    p_key, r_key = jax.random.split(key)
+    params = model.init(p_key, jnp.zeros((1, obs_dim), jnp.float32))
+    opt_state = _optimizer(cfg, total_updates).init(params)
+    env_state, ts0 = vecenv.batch_reset(env, env_params, r_key, n)
+    return PPOTrainState(
+        params=params, opt_state=opt_state,
+        rms=RunningMeanStd.create(obs_dim), env_state=env_state,
+        last_obs=ts0.obs, update_idx=jnp.zeros((), jnp.int32))
+
+
+def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
+                   total_updates: int, axis_name: Optional[str] = None):
+    """Build one fully-jitted PPO update: rollout + GAE + epochs of
+    minibatch SGD. With ``axis_name`` set (inside shard_map) gradients and
+    normalization statistics psum over the mesh."""
+    model = _make_model(env, env_params, cfg)
+    space = env.action_space(env_params)
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high), jnp.float32)
+    int_actions = np.issubdtype(space.dtype, np.integer)
+    tx = _optimizer(cfg, total_updates)
+
+    def to_env_action(raw):
+        a = networks.squash_action(raw, low, high)
+        return a.astype(jnp.int32) if int_actions else a
+
+    def update(state: PPOTrainState, key: jax.Array):
+        n_envs = state.last_obs.shape[0]
+
+        # ---------------- rollout (fused policy+env scan) ----------------
+        def scan_step(carry, _):
+            env_state, obs, key = carry
+            akey, skey, rkey, key = jax.random.split(key, 4)
+            norm_obs = state.rms.normalize(obs) if cfg.normalize_obs \
+                else obs.astype(jnp.float32)
+            mean, log_std, value = model.apply(state.params, norm_obs)
+            raw = networks.gaussian_sample(akey, mean, log_std)
+            logp = networks.gaussian_log_prob(raw, mean, log_std)
+            env_state, ts = vecenv.batch_step(
+                env, env_params, env_state, to_env_action(raw), skey, n_envs)
+            env_state, next_obs = vecenv.auto_reset(
+                env, env_params, env_state, ts, rkey, n_envs)
+            out = dict(obs=obs, raw=raw, logp=logp, value=value,
+                       reward=ts.reward, done=ts.done, final_obs=ts.obs)
+            return (env_state, next_obs, key), out
+
+        roll_key, key = jax.random.split(key)
+        (env_state, last_obs, _), tr = jax.lax.scan(
+            scan_step, (state.env_state, state.last_obs, roll_key), None,
+            length=cfg.rollout_steps)
+
+        # ------------------------------- GAE ------------------------------
+        norm = state.rms.normalize if cfg.normalize_obs else \
+            (lambda x: x.astype(jnp.float32))
+        _, _, bootstrap = model.apply(state.params, norm(tr["final_obs"][-1]))
+
+        def gae_step(carry, inp):
+            next_adv, next_value = carry
+            reward, done, value = inp
+            nd = 1.0 - done.astype(jnp.float32)
+            # fixed-horizon truncation: bootstrap through V(final_obs), but
+            # stop advantage propagation across episode boundaries
+            delta = reward + cfg.gamma * next_value - value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nd * next_adv
+            return (adv, value), adv
+
+        # per-step bootstrap value: V(next_obs); at done use V(final obs)
+        values = tr["value"]
+        next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
+        # where an episode ended mid-rollout, next_value must come from the
+        # pre-reset final obs of that step
+        _, _, v_final = model.apply(state.params, norm(
+            tr["final_obs"].reshape(-1, tr["final_obs"].shape[-1])))
+        v_final = v_final.reshape(values.shape)
+        next_values = jnp.where(tr["done"], v_final, next_values)
+
+        (_, _), advs = jax.lax.scan(
+            gae_step, (jnp.zeros_like(bootstrap), bootstrap),
+            (tr["reward"], tr["done"], values), reverse=True)
+        returns = advs + values
+
+        # --------------------------- SGD epochs ---------------------------
+        batch = dict(obs=tr["obs"], raw=tr["raw"], logp=tr["logp"],
+                     value=values, adv=advs, ret=returns)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), batch)
+        batch_size = cfg.rollout_steps * n_envs
+        mb_size = batch_size // cfg.num_minibatches
+
+        def loss_fn(params, mb):
+            norm_obs = state.rms.normalize(mb["obs"]) if cfg.normalize_obs \
+                else mb["obs"].astype(jnp.float32)
+            mean, log_std, value = model.apply(params, norm_obs)
+            logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
+            ratio = jnp.exp(logp - mb["logp"])
+            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
+            pg1 = ratio * adv
+            pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+            pg_loss = -jnp.minimum(pg1, pg2).mean()
+            v_clip = mb["value"] + jnp.clip(value - mb["value"],
+                                            -cfg.clip_eps, cfg.clip_eps)
+            v_loss = 0.5 * jnp.maximum((value - mb["ret"]) ** 2,
+                                       (v_clip - mb["ret"]) ** 2).mean()
+            ent = networks.entropy_bonus(log_std).mean()
+            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            return total, (pg_loss, v_loss, ent)
+
+        def epoch(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, batch_size)
+            shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
+
+            def minibatch(carry, mb):
+                params, opt_state = carry
+                grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            mbs = jax.tree_util.tree_map(
+                lambda x: x[: mb_size * cfg.num_minibatches].reshape(
+                    (cfg.num_minibatches, mb_size) + x.shape[1:]), shuffled)
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), mbs)
+            return (params, opt_state), aux
+
+        epoch_keys = jax.random.split(key, cfg.update_epochs)
+        (params, opt_state), aux = jax.lax.scan(
+            epoch, (state.params, state.opt_state), epoch_keys)
+
+        rms = state.rms.update(flat["obs"], axis_name) if cfg.normalize_obs \
+            else state.rms
+
+        # ------------------------------ metrics ---------------------------
+        ep_count = jnp.maximum(jnp.sum(tr["done"]), 1)
+        mean_reward_per_step = jnp.mean(tr["reward"])
+        if axis_name is not None:
+            mean_reward_per_step = jax.lax.pmean(mean_reward_per_step, axis_name)
+        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+        metrics = dict(
+            mean_step_reward=mean_reward_per_step,
+            episodes=ep_count, pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
+
+        new_state = PPOTrainState(
+            params=params, opt_state=opt_state, rms=rms,
+            env_state=env_state, last_obs=last_obs,
+            update_idx=state.update_idx + 1)
+        return new_state, metrics
+
+    return update
+
+
+def train(env: Environment, env_params, cfg: PPOConfig, key: jax.Array,
+          total_timesteps: int, mesh: Optional[Mesh] = None,
+          axis_name: str = "env", progress=None):
+    """Run PPO; returns (train_state, metrics_per_update dict of arrays).
+
+    With ``mesh``, the whole update runs under shard_map: env batch sharded
+    on ``axis_name``, params/opt-state replicated, grads pmean'd.
+    """
+    total_updates = cfg.num_updates(total_timesteps)
+    update = make_update_fn(env, env_params, cfg, total_updates,
+                            axis_name if mesh is not None else None)
+
+    if mesh is None:
+        state = init_train_state(env, env_params, cfg, key, total_updates)
+        update_jit = jax.jit(update)
+    else:
+        n_dev = mesh.devices.size
+        assert cfg.num_envs % n_dev == 0, (cfg.num_envs, n_dev)
+        local = cfg.num_envs // n_dev
+
+        def sharded_init(key):
+            key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+            return init_train_state(env, env_params, cfg, key,
+                                    total_updates, local_envs=local)
+
+        state_spec = PPOTrainState(
+            params=P(), opt_state=P(), rms=P(),
+            env_state=P(axis_name), last_obs=P(axis_name), update_idx=P())
+        init_fn = jax.shard_map(
+            sharded_init, mesh=mesh, in_specs=P(axis_name),
+            out_specs=state_spec, check_vma=False)
+        state = jax.jit(init_fn)(jax.random.split(key, n_dev))
+
+        def sharded_update(state, keys):
+            key = jax.random.fold_in(keys[0], jax.lax.axis_index(axis_name))
+            return update(state, key)
+
+        update_sm = jax.shard_map(
+            sharded_update, mesh=mesh,
+            in_specs=(state_spec, P(axis_name)),
+            out_specs=(state_spec, P()), check_vma=False)
+        update_jit = jax.jit(update_sm)
+
+    metrics_log = []
+    for i in range(total_updates):
+        key, ukey = jax.random.split(key)
+        ukeys = ukey if mesh is None else jax.random.split(
+            ukey, mesh.devices.size)
+        state, metrics = update_jit(state, ukeys)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["update"] = i + 1
+        metrics["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
+        metrics_log.append(metrics)
+        if progress is not None:
+            progress(metrics)
+    stacked = {k: np.array([m[k] for m in metrics_log])
+               for k in metrics_log[0]} if metrics_log else {}
+    return state, stacked
+
+
+def make_eval_policy(env: Environment, env_params, cfg: PPOConfig,
+                     deterministic: bool = True):
+    """policy_fn(policy_state=(params, rms), obs, key, t) for vector eval."""
+    model = _make_model(env, env_params, cfg)
+    space = env.action_space(env_params)
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high), jnp.float32)
+    int_actions = np.issubdtype(space.dtype, np.integer)
+
+    def policy(policy_state, obs, key, _t):
+        params, rms = policy_state
+        norm_obs = rms.normalize(obs) if (cfg.normalize_obs and rms is not None) \
+            else obs.astype(jnp.float32)
+        mean, log_std, _ = model.apply(params, norm_obs)
+        raw = mean if deterministic else networks.gaussian_sample(key, mean, log_std)
+        a = networks.squash_action(raw, low, high)
+        return a.astype(jnp.int32) if int_actions else a
+    return policy
+
+
+# ======================================================== host agent wrapper
+
+class PPOAgent(BaseAgent):
+    """Reference BaseAgent-protocol wrapper over the on-device PPO learner.
+
+    Mirrors SB3AgentWrapper ergonomics (benchmark_InvManagementBacklogEnv.py:
+    201-342): checkpoint shortcut unless force_retrain, save/load, training
+    log for learning curves, deterministic eval actions.
+    """
+
+    def __init__(self, env: Environment, params_factory, name: str = "PPO",
+                 config: Optional[PPOConfig] = None,
+                 model_dir: str = "./models", log_dir: str = "./logs",
+                 force_retrain: bool = False, mesh: Optional[Mesh] = None,
+                 seed: int = 0):
+        super().__init__(name=name)
+        self.env = env
+        self.params_factory = params_factory
+        self.config = config or PPOConfig()
+        self.model_dir, self.log_dir = model_dir, log_dir
+        self.force_retrain = force_retrain
+        self.mesh = mesh
+        self.seed = seed
+        self.env_params = None
+        self.train_state = None
+        self.training_log = None
+        self._eval_policy = None
+
+    # -- persistence -----------------------------------------------------
+    def _ckpt_path(self, prefix=""):
+        return os.path.join(self.model_dir, f"{prefix}{self.name}.msgpack")
+
+    def save(self, path: Optional[str] = None):
+        path = path or self._ckpt_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {"params": self.train_state.params,
+                   "rms": dict(mean=self.train_state.rms.mean,
+                               var=self.train_state.rms.var,
+                               count=self.train_state.rms.count)}
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        return path
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            raw = f.read()
+        if self.env_params is None:
+            self.env_params = self.params_factory()
+        total_updates = 1
+        key = jax.random.PRNGKey(self.seed)
+        tmpl = init_train_state(self.env, self.env_params, self.config, key,
+                                total_updates, local_envs=1)
+        payload = {"params": tmpl.params,
+                   "rms": dict(mean=tmpl.rms.mean, var=tmpl.rms.var,
+                               count=tmpl.rms.count)}
+        restored = serialization.from_bytes(payload, raw)
+        self.train_state = tmpl.replace(
+            params=restored["params"],
+            rms=RunningMeanStd(**restored["rms"]))
+        self._eval_policy = None
+
+    # -- training --------------------------------------------------------
+    def train(self, env_config: dict, total_timesteps: int,
+              save_path_prefix: str = ""):
+        self.env_params = self.params_factory(env_config=env_config or None)
+        ckpt = self._ckpt_path(save_path_prefix)
+        if not self.force_retrain and os.path.exists(ckpt):
+            print(f"Loading existing model for {self.name} from {ckpt}")
+            self.load(ckpt)
+            self.training_time = 0.0
+            return
+        print(f"Training {self.name} for {total_timesteps} steps...")
+        start = time.time()
+        key = jax.random.PRNGKey(self.seed)
+        state, metrics = train(self.env, self.env_params, self.config, key,
+                               total_timesteps, mesh=self.mesh)
+        self.train_state = state
+        self.training_log = metrics
+        self.training_time = time.time() - start
+        self.save(ckpt)
+        if metrics:
+            os.makedirs(self.log_dir, exist_ok=True)
+            log_path = os.path.join(self.log_dir, f"{self.name}_train_log.csv")
+            import csv
+            with open(log_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(metrics.keys()))
+                w.writeheader()
+                for i in range(len(metrics["update"])):
+                    w.writerow({k: metrics[k][i] for k in metrics})
+        print(f"Training for {self.name} finished in {self.training_time:.2f}s")
+
+    # -- evaluation ------------------------------------------------------
+    def _ensure_policy(self):
+        if self._eval_policy is None:
+            self._eval_policy = jax.jit(make_eval_policy(
+                self.env, self.env_params, self.config))
+        return self._eval_policy
+
+    def get_action(self, observation, env):
+        if self.train_state is None:
+            a = env.action_space.sample()
+            return a.astype(env.action_space.dtype)
+        policy = self._ensure_policy()
+        obs = jnp.asarray(observation, jnp.float32)[None]
+        a = policy((self.train_state.params, self.train_state.rms), obs,
+                   jax.random.PRNGKey(0), jnp.zeros((), jnp.int32))
+        return np.asarray(a[0]).astype(env.action_space.dtype)
+
+    def device_policy(self, env, params):
+        policy = make_eval_policy(self.env, self.env_params or params,
+                                  self.config)
+        ps = (self.train_state.params, self.train_state.rms)
+        return lambda _s, obs, key, t: policy(ps, obs, key, t)
