@@ -1,0 +1,465 @@
+"""Off-policy actor-learners: SAC, TD3, DDPG with an on-device replay buffer.
+
+Covers the reference's off-policy roster (SB3 SAC/TD3/DDPG with action noise,
+benchmark_InvManagementBacklogEnv.py:215-229, 692-717) TPU-natively: the
+replay buffer is a fixed-size pytree living in HBM, env stepping and gradient
+updates fuse into one jitted iteration, and everything batches — no python
+in the hot loop.
+
+One shared core (`make_offpolicy_update`) parameterized by algorithm:
+- DDPG: deterministic actor, single Q, target polyak.
+- TD3:  + twin critics, target policy smoothing, delayed actor updates.
+- SAC:  stochastic tanh-Gaussian actor, twin critics, entropy temperature
+        with automatic tuning (target entropy = -act_dim).
+
+Exploration noise for DDPG/TD3 follows the reference's scale heuristic
+(0.1 * action_range / 2, benchmark_InvManagementBacklogEnv.py:225).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from or_gym_inventory_tpu.agents import networks
+from or_gym_inventory_tpu.agents.base import BaseAgent
+from or_gym_inventory_tpu.agents.ppo import RunningMeanStd
+from or_gym_inventory_tpu.envs.base import Environment
+from or_gym_inventory_tpu.vector import vecenv
+
+
+@struct.dataclass
+class OffPolicyConfig:
+    algo: str = struct.field(pytree_node=False, default="sac")  # sac|td3|ddpg
+    num_envs: int = struct.field(pytree_node=False, default=128)
+    buffer_size: int = struct.field(pytree_node=False, default=200_000)
+    batch_size: int = struct.field(pytree_node=False, default=256)
+    lr: float = struct.field(pytree_node=False, default=3e-4)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    tau: float = struct.field(pytree_node=False, default=0.005)
+    start_steps: int = struct.field(pytree_node=False, default=2_000)
+    updates_per_iter: int = struct.field(pytree_node=False, default=1)
+    policy_delay: int = struct.field(pytree_node=False, default=2)   # td3
+    target_noise: float = struct.field(pytree_node=False, default=0.2)
+    noise_clip: float = struct.field(pytree_node=False, default=0.5)
+    explore_noise: float = struct.field(pytree_node=False, default=0.1)
+    pi_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
+    q_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
+    normalize_obs: bool = struct.field(pytree_node=False, default=True)
+
+
+class _Actor(networks.nn.Module):
+    action_dim: int
+    arch: Tuple[int, ...] = (256, 256)
+    stochastic: bool = True
+
+    @networks.nn.compact
+    def __call__(self, obs):
+        x = obs
+        for w in self.arch:
+            x = networks.nn.relu(networks.nn.Dense(w)(x))
+        mean = networks.nn.Dense(self.action_dim)(x)
+        if not self.stochastic:
+            return mean, None
+        log_std = networks.nn.Dense(self.action_dim)(x)
+        log_std = jnp.clip(log_std, -10.0, 2.0)
+        return mean, log_std
+
+
+@struct.dataclass
+class ReplayBuffer:
+    obs: jax.Array
+    action: jax.Array      # raw (pre-squash) actions in R^d
+    reward: jax.Array
+    next_obs: jax.Array
+    done: jax.Array
+    ptr: jax.Array
+    filled: jax.Array
+
+    @classmethod
+    def create(cls, size: int, obs_dim: int, act_dim: int):
+        return cls(obs=jnp.zeros((size, obs_dim), jnp.float32),
+                   action=jnp.zeros((size, act_dim), jnp.float32),
+                   reward=jnp.zeros((size,), jnp.float32),
+                   next_obs=jnp.zeros((size, obs_dim), jnp.float32),
+                   done=jnp.zeros((size,), jnp.bool_),
+                   ptr=jnp.zeros((), jnp.int32),
+                   filled=jnp.zeros((), jnp.int32))
+
+    def insert(self, obs, action, reward, next_obs, done):
+        n = obs.shape[0]
+        size = self.obs.shape[0]
+        idx = (self.ptr + jnp.arange(n)) % size
+        return self.replace(
+            obs=self.obs.at[idx].set(obs.astype(jnp.float32)),
+            action=self.action.at[idx].set(action),
+            reward=self.reward.at[idx].set(reward),
+            next_obs=self.next_obs.at[idx].set(next_obs.astype(jnp.float32)),
+            done=self.done.at[idx].set(done),
+            ptr=(self.ptr + n) % size,
+            filled=jnp.minimum(self.filled + n, size))
+
+    def sample(self, key, batch_size: int):
+        idx = jax.random.randint(key, (batch_size,), 0,
+                                 jnp.maximum(self.filled, 1))
+        return dict(obs=self.obs[idx], action=self.action[idx],
+                    reward=self.reward[idx], next_obs=self.next_obs[idx],
+                    done=self.done[idx])
+
+
+@struct.dataclass
+class OffPolicyState:
+    actor_params: dict
+    q_params: dict            # twin critics stacked under one tree
+    target_q_params: dict
+    target_actor_params: dict
+    log_alpha: jax.Array      # sac temperature
+    actor_opt: optax.OptState
+    q_opt: optax.OptState
+    alpha_opt: optax.OptState
+    rms: RunningMeanStd
+    buffer: ReplayBuffer
+    env_state: object
+    last_obs: jax.Array
+    step_idx: jax.Array
+
+
+def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
+    """Build (init_fn, update_fn, eval_policy) for the configured algorithm."""
+    space = env.action_space(env_params)
+    obs_dim = env.observation_space(env_params).shape[0]
+    act_dim = int(np.prod(space.shape))
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high), jnp.float32)
+    int_actions = np.issubdtype(space.dtype, np.integer)
+    stochastic = cfg.algo == "sac"
+
+    actor = _Actor(action_dim=act_dim, arch=cfg.pi_arch, stochastic=stochastic)
+
+    class TwinQ(networks.nn.Module):
+        @networks.nn.compact
+        def __call__(self, obs, act):
+            q1 = networks.QNetwork(arch=cfg.q_arch)(obs, act)
+            if cfg.algo == "ddpg":
+                return q1, q1
+            q2 = networks.QNetwork(arch=cfg.q_arch)(obs, act)
+            return q1, q2
+
+    twin_q = TwinQ()
+    actor_tx = optax.adam(cfg.lr)
+    q_tx = optax.adam(cfg.lr)
+    alpha_tx = optax.adam(cfg.lr)
+    target_entropy = -float(act_dim)
+
+    def to_env_action(raw):
+        a = networks.squash_action(raw, low, high)
+        return a.astype(jnp.int32) if int_actions else a
+
+    def init(key) -> OffPolicyState:
+        k1, k2, k3 = jax.random.split(key, 3)
+        dummy_obs = jnp.zeros((1, obs_dim), jnp.float32)
+        dummy_act = jnp.zeros((1, act_dim), jnp.float32)
+        actor_params = actor.init(k1, dummy_obs)
+        q_params = twin_q.init(k2, dummy_obs, dummy_act)
+        env_state, ts0 = vecenv.batch_reset(env, env_params, k3, cfg.num_envs)
+        return OffPolicyState(
+            actor_params=actor_params, q_params=q_params,
+            target_q_params=q_params, target_actor_params=actor_params,
+            log_alpha=jnp.zeros((), jnp.float32),
+            actor_opt=actor_tx.init(actor_params),
+            q_opt=q_tx.init(q_params),
+            alpha_opt=alpha_tx.init(jnp.zeros((), jnp.float32)),
+            rms=RunningMeanStd.create(obs_dim),
+            buffer=ReplayBuffer.create(cfg.buffer_size, obs_dim, act_dim),
+            env_state=env_state, last_obs=ts0.obs,
+            step_idx=jnp.zeros((), jnp.int32))
+
+    def _norm(rms, x):
+        return rms.normalize(x) if cfg.normalize_obs else x.astype(jnp.float32)
+
+    def _actor_raw(params, nobs, key):
+        mean, log_std = actor.apply(params, nobs)
+        if stochastic:
+            raw = networks.gaussian_sample(key, mean, log_std)
+            logp = networks.gaussian_log_prob(raw, mean, log_std)
+            return raw, logp
+        return mean, None
+
+    def update(state: OffPolicyState, key: jax.Array):
+        akey, skey, rkey, bkey, ukey = jax.random.split(key, 5)
+
+        # ------------------ collect one step from all envs ----------------
+        nobs = _norm(state.rms, state.last_obs)
+        if stochastic:
+            raw, _ = _actor_raw(state.actor_params, nobs, akey)
+        else:
+            mean, _ = actor.apply(state.actor_params, nobs)
+            noise = cfg.explore_noise * jax.random.normal(akey, mean.shape)
+            raw = mean + noise
+        # random warmup until start_steps total env steps
+        warmup = state.step_idx * cfg.num_envs < cfg.start_steps
+        raw = jnp.where(warmup,
+                        jax.random.normal(jax.random.fold_in(akey, 1), raw.shape),
+                        raw)
+        env_state, ts = vecenv.batch_step(
+            env, env_params, state.env_state, to_env_action(raw), skey,
+            cfg.num_envs)
+        env_state, next_obs = vecenv.auto_reset(
+            env, env_params, env_state, ts, rkey, cfg.num_envs)
+        # fixed-horizon truncations bootstrap (done treated as non-terminal),
+        # matching the envs' truncation-only semantics
+        buffer = state.buffer.insert(state.last_obs, raw, ts.reward,
+                                     ts.obs, ts.done)
+        rms = state.rms.update(state.last_obs) if cfg.normalize_obs else state.rms
+
+        # --------------------------- gradient step ------------------------
+        def one_update(carry, ukey):
+            (actor_params, q_params, tq_params, ta_params, log_alpha,
+             actor_opt, q_opt, alpha_opt) = carry
+            mb = buffer.sample(ukey, cfg.batch_size)
+            nob = _norm(rms, mb["obs"])
+            nnext = _norm(rms, mb["next_obs"])
+            alpha = jnp.exp(log_alpha)
+
+            # target
+            if cfg.algo == "sac":
+                next_raw, next_logp = _actor_raw(
+                    actor_params, nnext, jax.random.fold_in(ukey, 0))
+                q1t, q2t = twin_q.apply(tq_params, nnext, next_raw)
+                qt = jnp.minimum(q1t, q2t) - alpha * next_logp
+            else:
+                next_mean, _ = actor.apply(ta_params, nnext)
+                if cfg.algo == "td3":
+                    smooth = jnp.clip(
+                        cfg.target_noise * jax.random.normal(
+                            jax.random.fold_in(ukey, 1), next_mean.shape),
+                        -cfg.noise_clip, cfg.noise_clip)
+                    next_mean = next_mean + smooth
+                q1t, q2t = twin_q.apply(tq_params, nnext, next_mean)
+                qt = jnp.minimum(q1t, q2t)
+            # truncation-only envs: always bootstrap
+            target = mb["reward"] + cfg.gamma * qt
+
+            def q_loss_fn(qp):
+                q1, q2 = twin_q.apply(qp, nob, mb["action"])
+                if cfg.algo == "ddpg":
+                    return ((q1 - target) ** 2).mean()
+                return ((q1 - target) ** 2).mean() + ((q2 - target) ** 2).mean()
+
+            q_grads = jax.grad(q_loss_fn)(q_params)
+            q_updates, q_opt = q_tx.update(q_grads, q_opt, q_params)
+            q_params = optax.apply_updates(q_params, q_updates)
+
+            def actor_loss_fn(ap):
+                if cfg.algo == "sac":
+                    raw, logp = _actor_raw(ap, nob, jax.random.fold_in(ukey, 2))
+                    q1, q2 = twin_q.apply(q_params, nob, raw)
+                    return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
+                mean, _ = actor.apply(ap, nob)
+                q1, _ = twin_q.apply(q_params, nob, mean)
+                return -q1.mean(), jnp.zeros(())
+
+            do_actor = (cfg.algo != "td3") | (state.step_idx % cfg.policy_delay == 0)
+            a_grads, logp = jax.grad(actor_loss_fn, has_aux=True)(actor_params)
+            a_grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)), a_grads)
+            a_updates, actor_opt = actor_tx.update(a_grads, actor_opt, actor_params)
+            actor_params = optax.apply_updates(actor_params, a_updates)
+
+            if cfg.algo == "sac":
+                def alpha_loss_fn(la):
+                    return -(jnp.exp(la) * (jax.lax.stop_gradient(logp)
+                                            + target_entropy)).mean()
+                al_grads = jax.grad(alpha_loss_fn)(log_alpha)
+                al_updates, alpha_opt = alpha_tx.update(al_grads, alpha_opt,
+                                                        log_alpha)
+                log_alpha = optax.apply_updates(log_alpha, al_updates)
+
+            polyak = lambda t, s: jax.tree_util.tree_map(
+                lambda a, b: (1 - cfg.tau) * a + cfg.tau * b, t, s)
+            tq_params = polyak(tq_params, q_params)
+            ta_params = polyak(ta_params, actor_params)
+            return (actor_params, q_params, tq_params, ta_params, log_alpha,
+                    actor_opt, q_opt, alpha_opt), None
+
+        carry = (state.actor_params, state.q_params, state.target_q_params,
+                 state.target_actor_params, state.log_alpha,
+                 state.actor_opt, state.q_opt, state.alpha_opt)
+        ukeys = jax.random.split(ukey, cfg.updates_per_iter)
+        carry, _ = jax.lax.scan(one_update, carry, ukeys)
+        (actor_params, q_params, tq_params, ta_params, log_alpha,
+         actor_opt, q_opt, alpha_opt) = carry
+
+        new_state = OffPolicyState(
+            actor_params=actor_params, q_params=q_params,
+            target_q_params=tq_params, target_actor_params=ta_params,
+            log_alpha=log_alpha, actor_opt=actor_opt, q_opt=q_opt,
+            alpha_opt=alpha_opt, rms=rms, buffer=buffer,
+            env_state=env_state, last_obs=next_obs,
+            step_idx=state.step_idx + 1)
+        metrics = dict(mean_step_reward=jnp.mean(ts.reward),
+                       alpha=jnp.exp(log_alpha))
+        return new_state, metrics
+
+    def eval_policy(policy_state, obs, key, _t):
+        params, rms = policy_state
+        nobs = _norm(rms, obs)
+        mean, _ = actor.apply(params, nobs)
+        return to_env_action(mean)
+
+    return init, update, eval_policy
+
+
+def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
+          total_timesteps: int, log_every: int = 50, progress=None):
+    """Run off-policy training; chunked so each device call covers many
+    iterations (scan) with metrics surfaced every ``log_every`` iters."""
+    init, update, eval_policy = make_offpolicy(env, env_params, cfg)
+    n_iters = max(1, total_timesteps // cfg.num_envs)
+    state = jax.jit(init)(key)
+
+    @jax.jit
+    def run_chunk(state, key):
+        def body(carry, k):
+            state = carry
+            state, metrics = update(state, k)
+            return state, metrics
+        keys = jax.random.split(key, log_every)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    metrics_log = []
+    done_iters = 0
+    while done_iters < n_iters:
+        key, ckey = jax.random.split(key)
+        state, metrics = run_chunk(state, ckey)
+        done_iters += log_every
+        m = {k: float(v) for k, v in metrics.items()}
+        m["timesteps"] = done_iters * cfg.num_envs
+        metrics_log.append(m)
+        if progress:
+            progress(m)
+    stacked = {k: np.array([m[k] for m in metrics_log])
+               for k in metrics_log[0]} if metrics_log else {}
+    return state, eval_policy, stacked
+
+
+# ======================================================== host agent wrapper
+
+class OffPolicyAgent(BaseAgent):
+    """BaseAgent-protocol wrapper for SAC/TD3/DDPG (mirrors SB3AgentWrapper
+    ergonomics: checkpoint shortcut, save/load, training CSV)."""
+
+    def __init__(self, env: Environment, params_factory, algo: str = "sac",
+                 name: Optional[str] = None,
+                 config: Optional[OffPolicyConfig] = None,
+                 model_dir: str = "./models", log_dir: str = "./logs",
+                 force_retrain: bool = False, seed: int = 0):
+        super().__init__(name=name or algo.upper())
+        self.env = env
+        self.params_factory = params_factory
+        self.config = (config or OffPolicyConfig()).replace(algo=algo)
+        self.model_dir, self.log_dir = model_dir, log_dir
+        self.force_retrain = force_retrain
+        self.seed = seed
+        self.env_params = None
+        self.state = None
+        self._eval_policy = None
+        self.training_log = None
+
+    def _ckpt_path(self, prefix=""):
+        return os.path.join(self.model_dir, f"{prefix}{self.name}.msgpack")
+
+    def save(self, path=None):
+        path = path or self._ckpt_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {"actor": self.state.actor_params,
+                   "rms": dict(mean=self.state.rms.mean, var=self.state.rms.var,
+                               count=self.state.rms.count)}
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        return path
+
+    def load(self, path: str):
+        if self.env_params is None:
+            self.env_params = self.params_factory()
+        init, _, eval_policy = make_offpolicy(self.env, self.env_params,
+                                              self.config)
+        tmpl = jax.jit(init)(jax.random.PRNGKey(self.seed))
+        payload = {"actor": tmpl.actor_params,
+                   "rms": dict(mean=tmpl.rms.mean, var=tmpl.rms.var,
+                               count=tmpl.rms.count)}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(payload, f.read())
+        self.state = tmpl.replace(
+            actor_params=restored["actor"],
+            rms=RunningMeanStd(**restored["rms"]))
+        self._eval_policy = jax.jit(eval_policy)
+
+    def train(self, env_config: dict, total_timesteps: int,
+              save_path_prefix: str = ""):
+        self.env_params = self.params_factory(env_config=env_config or None)
+        ckpt = self._ckpt_path(save_path_prefix)
+        if not self.force_retrain and os.path.exists(ckpt):
+            print(f"Loading existing model for {self.name} from {ckpt}")
+            self.load(ckpt)
+            self.training_time = 0.0
+            return
+        print(f"Training {self.name} ({self.config.algo}) for "
+              f"{total_timesteps} steps...")
+        start = time.time()
+        state, eval_policy, metrics = train(
+            self.env, self.env_params, self.config,
+            jax.random.PRNGKey(self.seed), total_timesteps)
+        self.state = state
+        self._eval_policy = jax.jit(eval_policy)
+        self.training_log = metrics
+        self.training_time = time.time() - start
+        self.save(ckpt)
+        if metrics:
+            import csv
+            os.makedirs(self.log_dir, exist_ok=True)
+            with open(os.path.join(self.log_dir,
+                                   f"{self.name}_train_log.csv"), "w",
+                      newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(metrics.keys()))
+                w.writeheader()
+                for i in range(len(next(iter(metrics.values())))):
+                    w.writerow({k: metrics[k][i] for k in metrics})
+        print(f"Training for {self.name} finished in {self.training_time:.2f}s")
+
+    def get_action(self, observation, env):
+        if self.state is None:
+            return env.action_space.sample().astype(env.action_space.dtype)
+        obs = jnp.asarray(observation, jnp.float32)[None]
+        a = self._eval_policy((self.state.actor_params, self.state.rms), obs,
+                              jax.random.PRNGKey(0), jnp.zeros((), jnp.int32))
+        return np.asarray(a[0]).astype(env.action_space.dtype)
+
+    def device_policy(self, env, params):
+        _, _, eval_policy = make_offpolicy(self.env,
+                                           self.env_params or params, self.config)
+        ps = (self.state.actor_params, self.state.rms)
+        return lambda _s, obs, key, t: eval_policy(ps, obs, key, t)
+
+
+class SACAgent(OffPolicyAgent):
+    def __init__(self, env, params_factory, name="SAC", **kw):
+        super().__init__(env, params_factory, algo="sac", name=name, **kw)
+
+
+class TD3Agent(OffPolicyAgent):
+    def __init__(self, env, params_factory, name="TD3", **kw):
+        super().__init__(env, params_factory, algo="td3", name=name, **kw)
+
+
+class DDPGAgent(OffPolicyAgent):
+    def __init__(self, env, params_factory, name="DDPG", **kw):
+        super().__init__(env, params_factory, algo="ddpg", name=name, **kw)

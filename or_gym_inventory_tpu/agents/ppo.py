@@ -57,6 +57,7 @@ class PPOConfig:
     anneal_lr: bool = struct.field(pytree_node=False, default=True)
     normalize_obs: bool = struct.field(pytree_node=False, default=True)
     normalize_reward: bool = struct.field(pytree_node=False, default=False)
+    optimizer: str = struct.field(pytree_node=False, default="adam")
 
     def num_updates(self, total_timesteps: int) -> int:
         return max(1, total_timesteps // (self.num_envs * self.rollout_steps))
@@ -118,13 +119,16 @@ def _make_model(env: Environment, env_params, cfg: PPOConfig):
 
 def _optimizer(cfg: PPOConfig, total_updates: int):
     if cfg.anneal_lr:
-        sched = optax.linear_schedule(
+        lr = optax.linear_schedule(
             cfg.lr, 0.0,
             max(1, total_updates * cfg.update_epochs * cfg.num_minibatches))
-        return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                           optax.adam(sched, eps=1e-5))
-    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                       optax.adam(cfg.lr, eps=1e-5))
+    else:
+        lr = cfg.lr
+    if cfg.optimizer == "rmsprop":  # SB3's A2C default
+        opt = optax.rmsprop(lr, decay=0.99, eps=1e-5)
+    else:
+        opt = optax.adam(lr, eps=1e-5)
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
 
 
 def init_train_state(env: Environment, env_params, cfg: PPOConfig,
