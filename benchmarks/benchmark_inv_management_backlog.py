@@ -1,0 +1,77 @@
+"""InvManagement (backlog) benchmark.
+
+Mirrors reference benchmark_InvManagementBacklogEnv.py (config :83-110:
+30 episodes, seeds from 4000, 50k RL steps, periods=50; roster :692-717 incl.
+net-arch variations PPO_SmallNet pi/vf=[64] and SAC_LargeNet [400,300], plus
+PPO_LargeBuffer and SAC_LowLR).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from functools import partial
+
+from or_gym_inventory_tpu.agents import heuristics as H
+from or_gym_inventory_tpu.agents.a2c import A2CAgent, A2CConfig
+from or_gym_inventory_tpu.agents.base import RandomAgent
+from or_gym_inventory_tpu.agents.off_policy import (DDPGAgent, OffPolicyConfig,
+                                                    SACAgent, TD3Agent)
+from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
+from or_gym_inventory_tpu.bench.runner import run_benchmark
+from or_gym_inventory_tpu.envs import adapters as ad
+from or_gym_inventory_tpu.envs import inv_management as im
+
+BACKLOG = True
+ENV_NAME_SHORT = "InvMgmt" if BACKLOG else "InvMgmtLS"
+N_EVAL_EPISODES = int(os.environ.get("OGT_EPISODES", 30))
+RL_TRAINING_TIMESTEPS = int(os.environ.get("OGT_TIMESTEPS", 50_000))
+SEED_OFFSET = 4000
+COLLECT_STEP_DETAILS = os.environ.get("OGT_DETAILS", "1") == "1"
+ENV_CONFIG = {"periods": 50}
+FAST = os.environ.get("OGT_FAST", "0") == "1"
+MODEL_DIR = f"./models_{ENV_NAME_SHORT}"
+LOG_DIR = f"./logs_{ENV_NAME_SHORT}"
+
+env_factory = ad.InvManagementBacklogEnv if BACKLOG else ad.InvManagementLostSalesEnv
+params_factory = partial(im.default_params, backlog=BACKLOG)
+PPO_CFG = PPOConfig(num_envs=256, rollout_steps=25, num_minibatches=8)
+OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
+                          start_steps=1_000)
+
+
+def build_agents():
+    rl = dict(model_dir=MODEL_DIR, log_dir=LOG_DIR)
+    E, pf = im.ENV, params_factory
+    return [
+        ("Random", RandomAgent()),
+        ("BaseStock_SF=1.0", H.BaseStockAgent(1.0)),
+        ("BaseStock_SF=1.2", H.BaseStockAgent(1.2)),
+        ("BaseStock_SF=0.8", H.BaseStockAgent(0.8)),
+        ("PPO", PPOAgent(E, pf, name="PPO", config=PPO_CFG, **rl)),
+        ("SAC", SACAgent(E, pf, config=OFF_CFG, **rl)),
+        ("TD3", TD3Agent(E, pf, config=OFF_CFG, **rl)),
+        ("A2C", A2CAgent(E, pf, config=A2CConfig(num_envs=256), **rl)),
+        ("DDPG", DDPGAgent(E, pf, config=OFF_CFG, **rl)),
+        ("PPO_LargeBuffer", PPOAgent(E, pf, name="PPO_LargeBuffer",
+                                     config=PPO_CFG.replace(rollout_steps=50), **rl)),
+        ("SAC_LowLR", SACAgent(E, pf, name="SAC_LowLR",
+                               config=OFF_CFG.replace(lr=1e-4), **rl)),
+        ("PPO_SmallNet", PPOAgent(E, pf, name="PPO_SmallNet",
+                                  config=PPO_CFG.replace(pi_arch=(64,),
+                                                         vf_arch=(64,)), **rl)),
+        ("SAC_LargeNet", SACAgent(E, pf, name="SAC_LargeNet",
+                                  config=OFF_CFG.replace(pi_arch=(400, 300),
+                                                         q_arch=(400, 300)), **rl)),
+    ]
+
+
+if __name__ == "__main__":
+    run_benchmark(ENV_NAME_SHORT, build_agents(), env_factory, ENV_CONFIG,
+                  N_EVAL_EPISODES, SEED_OFFSET, RL_TRAINING_TIMESTEPS,
+                  results_dir=f"./benchmark_results_{ENV_NAME_SHORT}",
+                  log_dir=LOG_DIR, collect_step_details=COLLECT_STEP_DETAILS,
+                  fast=FAST, env=im.ENV,
+                  params=params_factory(env_config=ENV_CONFIG))
+    print("\nBenchmark script finished.")

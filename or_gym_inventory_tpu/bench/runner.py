@@ -1,0 +1,83 @@
+"""Shared benchmark pipeline — define agents, train, evaluate, report, plot.
+
+The reference re-declares this pipeline by copy-paste in every benchmark
+script (its own comment: benchmark_InvManagementLostSalesEnv.py:122-124
+"Copying them here for completeness of the script file."); here it is one
+function. Each script under benchmarks/ is just config + roster
+(mirroring the reference's __main__ blocks, e.g.
+benchmark_InvManagementBacklogEnv.py:686-773).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from or_gym_inventory_tpu.agents.base import BaseAgent
+from or_gym_inventory_tpu.bench import plots
+from or_gym_inventory_tpu.bench.evaluate import (evaluate_agent,
+                                                 evaluate_agent_vectorized)
+from or_gym_inventory_tpu.bench.report import process_and_report_results
+
+
+def run_benchmark(env_name_short: str,
+                  agents: Sequence[Tuple[str, BaseAgent]],
+                  env_factory: Callable,
+                  env_config: Dict,
+                  n_eval_episodes: int,
+                  seed_offset: int,
+                  rl_training_timesteps: int,
+                  results_dir: str = None,
+                  log_dir: str = None,
+                  collect_step_details: bool = False,
+                  fast: bool = False,
+                  env=None, params=None,
+                  make_plots: bool = True):
+    """Train RL agents, evaluate the roster, aggregate, persist, plot.
+
+    ``fast=True`` uses the vectorized device evaluator (one episode per lane)
+    for agents exposing a device policy; others fall back to the host path.
+    """
+    results_dir = results_dir or f"./benchmark_results_{env_name_short}"
+    log_dir = log_dir or f"./logs_{env_name_short}"
+
+    agent_objects = {name: agent for name, agent in agents}
+
+    print("\n--- Training Phase ---")
+    for name, agent in agents:
+        t0 = time.time()
+        agent.train(env_config, rl_training_timesteps,
+                    save_path_prefix=f"{env_name_short}_")
+        if agent.get_training_time():
+            print(f"  {name}: trained in {agent.get_training_time():.1f}s")
+
+    print("\n--- Evaluation Phase ---")
+    all_results = []
+    for name, agent in agents:
+        if fast and params is not None and env is not None and \
+                agent.device_policy(env, params) is not None:
+            res = evaluate_agent_vectorized(agent, env, params,
+                                            n_eval_episodes, seed=seed_offset)
+        else:
+            res = evaluate_agent(agent, env_factory, n_eval_episodes,
+                                 seed_offset=seed_offset,
+                                 collect_details=collect_step_details,
+                                 env_config=env_config)
+        if not res["summary"].empty:
+            all_results.append(res)
+
+    summary, raw = process_and_report_results(
+        all_results, agent_objects, results_dir=results_dir,
+        env_name_short=env_name_short,
+        collect_step_details=collect_step_details)
+
+    if make_plots and summary is not None:
+        try:
+            log_dirs = {name: log_dir for name, a in agents
+                        if a.get_training_time() > 0 or hasattr(a, "training_log")}
+            plots.plot_learning_curves(log_dirs, results_dir, env_name_short)
+            plots.plot_benchmark_results(summary, raw, results_dir,
+                                         env_name_short, n_eval_episodes)
+        except Exception as e:
+            print(f"Error generating plots: {e}")
+    return summary, raw

@@ -1,0 +1,92 @@
+"""Benchmark harness end-to-end: evaluate, aggregate, persist, plot."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from or_gym_inventory_tpu.agents import heuristics as H
+from or_gym_inventory_tpu.agents.base import RandomAgent
+from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
+from or_gym_inventory_tpu.bench.evaluate import (evaluate_agent,
+                                                 evaluate_agent_vectorized)
+from or_gym_inventory_tpu.bench.runner import run_benchmark
+from or_gym_inventory_tpu.envs import adapters as ad
+from or_gym_inventory_tpu.envs import newsvendor as nv
+from or_gym_inventory_tpu.envs import inv_management as im
+
+
+def test_evaluate_agent_host_reference_protocol():
+    res = evaluate_agent(H.OrderUpToHeuristicAgent(1.0), ad.NewsvendorEnv,
+                         n_episodes=3, seed_offset=2000,
+                         env_config={"step_limit": 10})
+    df = res["summary"]
+    assert len(df) == 3
+    assert list(df["Seed"]) == [2000, 2001, 2002]
+    assert df["Error"].isna().all()
+    assert (df["Steps"] == 10).all()
+
+
+def test_evaluate_agent_inv_metrics():
+    res = evaluate_agent(H.BaseStockAgent(1.0), ad.InvManagementBacklogEnv,
+                         n_episodes=2, seed_offset=0,
+                         env_config={"periods": 8})
+    df = res["summary"]
+    assert ((0.0 <= df["AvgServiceLevel"]) & (df["AvgServiceLevel"] <= 1.0)).all()
+    assert (df["AvgEndingInv"] >= 0).all()
+
+
+def test_evaluate_agent_net_metrics():
+    res = evaluate_agent(H.ConstantOrderAgent(0.05), ad.NetInvMgmtBacklogEnv,
+                         n_episodes=2, seed_offset=0,
+                         env_config={"num_periods": 6})
+    df = res["summary"]
+    assert len(df) == 2 and df["Error"].isna().all()
+
+
+def test_vectorized_eval_consistent_with_host():
+    """Vectorized and host evaluators agree on deterministic-policy metrics
+    (different RNG streams, so compare a demand-independent agent on a
+    user-demand env)."""
+    params = im.default_params(periods=10, dist=5,
+                               user_D=tuple([20] * 10))
+    agent = H.BaseStockAgent(1.0)
+    res_v = evaluate_agent_vectorized(agent, im.ENV, params, 4, seed=0)
+    env_config = {"periods": 10, "dist": 5, "user_D": tuple([20] * 10)}
+    res_h = evaluate_agent(agent, ad.InvManagementBacklogEnv, 1,
+                           seed_offset=0, env_config=env_config)
+    # deterministic demand -> all episodes identical in both paths
+    np.testing.assert_allclose(res_v["summary"]["TotalReward"],
+                               res_h["summary"]["TotalReward"].iloc[0],
+                               rtol=1e-4)
+    assert res_v["steps_per_second"] > 0
+
+
+def test_run_benchmark_end_to_end(tmp_path):
+    agents = [
+        ("Random", RandomAgent()),
+        ("OrderUpTo_SF=1.0", H.OrderUpToHeuristicAgent(1.0)),
+        ("PPO", PPOAgent(nv.ENV, nv.default_params, name="PPO",
+                         config=PPOConfig(num_envs=8, rollout_steps=5,
+                                          num_minibatches=2, update_epochs=2,
+                                          pi_arch=(8,), vf_arch=(8,)),
+                         model_dir=str(tmp_path / "models"),
+                         log_dir=str(tmp_path / "logs"))),
+    ]
+    summary, raw = run_benchmark(
+        "TestNV", agents, ad.NewsvendorEnv, {"step_limit": 5},
+        n_eval_episodes=2, seed_offset=100, rl_training_timesteps=80,
+        results_dir=str(tmp_path / "results"), log_dir=str(tmp_path / "logs"),
+        collect_step_details=True)
+    assert summary is not None and len(summary) == 3
+    assert os.path.exists(tmp_path / "results" / "TestNV_benchmark_summary.csv")
+    assert os.path.exists(tmp_path / "results" / "TestNV_benchmark_raw_summary.csv")
+    assert os.path.exists(tmp_path / "results" /
+                          "TestNV_benchmark_step_details.jsonl")
+    assert os.path.exists(tmp_path / "results" /
+                          "TestNV_benchmark_rewards_boxplot.png")
+    # summary schema matches the reference's columns
+    for col in ["AvgReward", "MedianReward", "StdReward", "AvgServiceLevel",
+                "AvgStockoutQty", "AvgEndInv", "AvgTimePerEp",
+                "TrainingTime(s)", "SuccessRate(%)"]:
+        assert col in summary.columns
