@@ -19,6 +19,8 @@ from or_gym_inventory_tpu.agents.base import RandomAgent
 from or_gym_inventory_tpu.agents.off_policy import (DDPGAgent, OffPolicyConfig,
                                                     SACAgent, TD3Agent)
 from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
+from or_gym_inventory_tpu.agents.recurrent_ppo import (RecurrentPPOAgent,
+                                                       RecurrentPPOConfig)
 from or_gym_inventory_tpu.bench.runner import run_benchmark
 from or_gym_inventory_tpu.envs import adapters as ad
 from or_gym_inventory_tpu.envs import inv_management as im
@@ -64,6 +66,12 @@ def build_agents():
         ("SAC_LargeNet", SACAgent(E, pf, name="SAC_LargeNet",
                                   config=OFF_CFG.replace(pi_arch=(400, 300),
                                                          q_arch=(400, 300)), **rl)),
+        # the reference requested "MlpLstmPolicy" here, which stock SB3
+        # cannot provide (SURVEY.md §4); this is a working recurrent policy
+        ("PPO_LSTM", RecurrentPPOAgent(
+            E, pf, name="PPO_LSTM",
+            config=RecurrentPPOConfig(num_envs=256, rollout_steps=25,
+                                      num_minibatches=8), **rl)),
     ]
 
 

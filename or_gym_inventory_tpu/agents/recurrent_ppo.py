@@ -1,0 +1,317 @@
+"""Recurrent PPO (LSTM actor-critic).
+
+The reference roster requests "MlpLstmPolicy" for PPO_LSTM/A2C_LSTM
+(benchmark_InvManagementBacklogEnv.py:712-713) — which stock SB3 cannot
+provide (recurrent policies live in sb3-contrib; see SURVEY.md §4). This is
+the working TPU-native counterpart: an LSTM actor-critic trained with PPO,
+hidden state threaded through the fused rollout scan and recomputed by
+sequence scan during the update (minibatches are slices of the env axis so
+sequences stay whole — the standard recurrent-PPO recipe).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from or_gym_inventory_tpu.agents import networks
+from or_gym_inventory_tpu.agents.ppo import (PPOAgent, PPOConfig,
+                                             RunningMeanStd, _optimizer)
+from or_gym_inventory_tpu.envs.base import Environment
+from or_gym_inventory_tpu.vector import vecenv
+
+
+@struct.dataclass
+class RecurrentPPOConfig(PPOConfig):
+    hidden: int = struct.field(pytree_node=False, default=128)
+    encoder: Tuple[int, ...] = struct.field(pytree_node=False, default=(64,))
+
+
+@struct.dataclass
+class RPPOTrainState:
+    params: dict
+    opt_state: optax.OptState
+    rms: RunningMeanStd
+    env_state: object
+    last_obs: jax.Array
+    last_done: jax.Array
+    carry: Tuple[jax.Array, jax.Array]
+    update_idx: jax.Array
+
+
+def _make_model(env, env_params, cfg: RecurrentPPOConfig):
+    space = env.action_space(env_params)
+    return networks.LSTMActorCritic(
+        action_dim=int(np.prod(space.shape)), hidden=cfg.hidden,
+        encoder=cfg.encoder, activation=cfg.activation)
+
+
+def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
+                   total_updates: int):
+    model = _make_model(env, env_params, cfg)
+    space = env.action_space(env_params)
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high), jnp.float32)
+    int_actions = np.issubdtype(space.dtype, np.integer)
+    obs_dim = env.observation_space(env_params).shape[0]
+    tx = _optimizer(cfg, total_updates)
+
+    def to_env_action(raw):
+        a = networks.squash_action(raw, low, high)
+        return a.astype(jnp.int32) if int_actions else a
+
+    def init(key) -> RPPOTrainState:
+        pkey, rkey = jax.random.split(key)
+        carry0 = model.initial_carry(cfg.num_envs)
+        params = model.init(pkey, carry0, jnp.zeros((cfg.num_envs, obs_dim),
+                                                    jnp.float32))
+        env_state, ts0 = vecenv.batch_reset(env, env_params, rkey, cfg.num_envs)
+        return RPPOTrainState(
+            params=params, opt_state=tx.init(params),
+            rms=RunningMeanStd.create(obs_dim), env_state=env_state,
+            last_obs=ts0.obs, last_done=jnp.zeros((cfg.num_envs,), bool),
+            carry=carry0, update_idx=jnp.zeros((), jnp.int32))
+
+    def update(state: RPPOTrainState, key: jax.Array):
+        n_envs = cfg.num_envs
+        norm = state.rms.normalize if cfg.normalize_obs else \
+            (lambda x: x.astype(jnp.float32))
+        init_carry = state.carry
+
+        def scan_step(scan_carry, _):
+            env_state, obs, done, carry, key = scan_carry
+            akey, skey, rkey, key = jax.random.split(key, 4)
+            carry, (mean, log_std, value) = model.apply(
+                state.params, carry, norm(obs), done)
+            raw = networks.gaussian_sample(akey, mean, log_std)
+            logp = networks.gaussian_log_prob(raw, mean, log_std)
+            env_state, ts = vecenv.batch_step(
+                env, env_params, env_state, to_env_action(raw), skey, n_envs)
+            env_state, next_obs = vecenv.auto_reset(
+                env, env_params, env_state, ts, rkey, n_envs)
+            out = dict(obs=obs, done_in=done, raw=raw, logp=logp, value=value,
+                       reward=ts.reward, done=ts.done, final_obs=ts.obs)
+            return (env_state, next_obs, ts.done, carry, key), out
+
+        roll_key, key = jax.random.split(key)
+        (env_state, last_obs, last_done, carry, _), tr = jax.lax.scan(
+            scan_step,
+            (state.env_state, state.last_obs, state.last_done, init_carry,
+             roll_key), None, length=cfg.rollout_steps)
+
+        # bootstrap with the post-rollout carry
+        _, (_, _, bootstrap) = model.apply(state.params, carry,
+                                           norm(last_obs), last_done)
+
+        def gae_step(c, inp):
+            next_adv, next_value = c
+            reward, done, value = inp
+            nd = 1.0 - done.astype(jnp.float32)
+            delta = reward + cfg.gamma * next_value - value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nd * next_adv
+            return (adv, value), adv
+
+        values = tr["value"]
+        next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
+        (_, _), advs = jax.lax.scan(
+            gae_step, (jnp.zeros_like(bootstrap), bootstrap),
+            (tr["reward"], tr["done"], values), reverse=True)
+        returns = advs + values
+
+        n_mb = cfg.num_minibatches
+        assert n_envs % n_mb == 0
+        envs_per_mb = n_envs // n_mb
+
+        def loss_fn(params, mb):
+            # re-run the LSTM over the whole sequence for this env slice
+            def cell(carry, inp):
+                obs, done_in = inp
+                carry, out = model.apply(params, carry, norm(obs), done_in)
+                return carry, out
+            _, (mean, log_std, value) = jax.lax.scan(
+                cell, mb["init_carry"], (mb["obs"], mb["done_in"]))
+            # log_std is a module param (act_dim,) stacked to (T, act_dim)
+            # by the scan; lift it to (T, mb, act_dim) to match mean
+            log_std = jnp.broadcast_to(log_std[:, None, :], mean.shape)
+            logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
+            ratio = jnp.exp(logp - mb["logp"])
+            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+            v_loss = 0.5 * ((value - mb["ret"]) ** 2).mean()
+            ent = networks.entropy_bonus(log_std).mean()
+            return pg + cfg.vf_coef * v_loss - cfg.ent_coef * ent, (pg, v_loss, ent)
+
+        batch = dict(obs=tr["obs"], done_in=tr["done_in"], raw=tr["raw"],
+                     logp=tr["logp"], adv=advs, ret=returns)
+
+        def epoch(carry_in, ekey):
+            params, opt_state = carry_in
+            perm = jax.random.permutation(ekey, n_envs)
+
+            def minibatch(carry_in, mb_idx):
+                params, opt_state = carry_in
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * envs_per_mb, envs_per_mb)
+                mb = {k: v[:, idx] for k, v in batch.items()}
+                mb["init_carry"] = jax.tree_util.tree_map(
+                    lambda c: c[idx], init_carry)
+                grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(n_mb))
+            return (params, opt_state), aux
+
+        epoch_keys = jax.random.split(key, cfg.update_epochs)
+        (params, opt_state), aux = jax.lax.scan(
+            epoch, (state.params, state.opt_state), epoch_keys)
+
+        rms = state.rms.update(tr["obs"].reshape(-1, obs_dim)) \
+            if cfg.normalize_obs else state.rms
+        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+        metrics = dict(mean_step_reward=jnp.mean(tr["reward"]),
+                       pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
+        new_state = RPPOTrainState(
+            params=params, opt_state=opt_state, rms=rms, env_state=env_state,
+            last_obs=last_obs, last_done=last_done, carry=carry,
+            update_idx=state.update_idx + 1)
+        return new_state, metrics
+
+    def eval_policy(policy_state, obs, key, t):
+        """Stateless-per-step eval: (params, rms, carry-in-closure) is not
+        possible in the vector API, so eval threads the carry via vmapped
+        scan in evaluate; here we expose a step fn for custom loops."""
+        raise NotImplementedError("use eval_episode for recurrent policies")
+
+    def eval_episodes(params, rms, key, num_envs):
+        """Deterministic full-horizon evaluation with hidden-state threading."""
+        horizon = env.horizon(env_params)
+        rkey, key = jax.random.split(key)
+        env_state, ts0 = vecenv.batch_reset(env, env_params, rkey, num_envs)
+        carry0 = model.initial_carry(num_envs)
+        normf = rms.normalize if cfg.normalize_obs else \
+            (lambda x: x.astype(jnp.float32))
+
+        def scan_step(c, _):
+            env_state, obs, done, carry, key = c
+            skey, key = jax.random.split(key)
+            carry, (mean, _, _) = model.apply(params, carry, normf(obs), done)
+            env_state, ts = vecenv.batch_step(
+                env, env_params, env_state, to_env_action(mean), skey, num_envs)
+            return (env_state, ts.obs, ts.done, carry, key), ts.reward
+
+        (_, _, _, _, _), rewards = jax.lax.scan(
+            scan_step,
+            (env_state, ts0.obs, jnp.zeros((num_envs,), bool), carry0, key),
+            None, length=horizon)
+        return jnp.sum(rewards, axis=0)
+
+    return init, update, eval_episodes
+
+
+def train(env: Environment, env_params, cfg: RecurrentPPOConfig,
+          key: jax.Array, total_timesteps: int, progress=None):
+    total_updates = cfg.num_updates(total_timesteps)
+    init, update, eval_episodes = make_train_fns(env, env_params, cfg,
+                                                 total_updates)
+    state = jax.jit(init)(key)
+    update_jit = jax.jit(update)
+    metrics_log = []
+    for i in range(total_updates):
+        key, ukey = jax.random.split(key)
+        state, metrics = update_jit(state, ukey)
+        m = {k: float(v) for k, v in metrics.items()}
+        m["update"] = i + 1
+        m["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
+        metrics_log.append(m)
+        if progress:
+            progress(m)
+    stacked = {k: np.array([mm[k] for mm in metrics_log])
+               for k in metrics_log[0]} if metrics_log else {}
+    return state, eval_episodes, stacked
+
+
+class RecurrentPPOAgent(PPOAgent):
+    """Host wrapper (BaseAgent protocol) for the LSTM PPO."""
+
+    def __init__(self, env, params_factory, name="PPO_LSTM",
+                 config: Optional[RecurrentPPOConfig] = None, **kwargs):
+        super().__init__(env, params_factory, name=name,
+                         config=config or RecurrentPPOConfig(), **kwargs)
+        self._carry = None
+        self._model = None
+
+    def train(self, env_config: dict, total_timesteps: int,
+              save_path_prefix: str = ""):
+        self.env_params = self.params_factory(env_config=env_config or None)
+        ckpt = self._ckpt_path(save_path_prefix)
+        if not self.force_retrain and os.path.exists(ckpt):
+            print(f"Loading existing model for {self.name} from {ckpt}")
+            self.load(ckpt)
+            self.training_time = 0.0
+            return
+        print(f"Training {self.name} for {total_timesteps} steps...")
+        start = time.time()
+        state, eval_episodes, metrics = train(
+            self.env, self.env_params, self.config,
+            jax.random.PRNGKey(self.seed), total_timesteps)
+        self.train_state = state
+        self.training_log = metrics
+        self.training_time = time.time() - start
+        self.save(ckpt)
+        print(f"Training for {self.name} finished in {self.training_time:.2f}s")
+
+    def load(self, path: str):
+        from flax import serialization
+        if self.env_params is None:
+            self.env_params = self.params_factory()
+        init, _, _ = make_train_fns(self.env, self.env_params, self.config, 1)
+        tmpl = jax.jit(init)(jax.random.PRNGKey(self.seed))
+        payload = {"params": tmpl.params,
+                   "rms": dict(mean=tmpl.rms.mean, var=tmpl.rms.var,
+                               count=tmpl.rms.count)}
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(payload, f.read())
+        self.train_state = tmpl.replace(
+            params=restored["params"], rms=RunningMeanStd(**restored["rms"]))
+
+    def _ensure_model(self):
+        if self._model is None:
+            self._model = _make_model(self.env, self.env_params, self.config)
+            self._step_fn = jax.jit(
+                lambda params, carry, obs, done: self._model.apply(
+                    params, carry, obs, done))
+        return self._model
+
+    def get_action(self, observation, env):
+        if self.train_state is None:
+            return env.action_space.sample().astype(env.action_space.dtype)
+        model = self._ensure_model()
+        period = int(getattr(env, "period", getattr(env, "step_count", 0)))
+        if self._carry is None or period == 0:
+            self._carry = model.initial_carry(1)
+        obs = jnp.asarray(observation, jnp.float32)[None]
+        nobs = self.train_state.rms.normalize(obs) if self.config.normalize_obs \
+            else obs
+        self._carry, (mean, _, _) = self._step_fn(
+            self.train_state.params, self._carry, nobs,
+            jnp.zeros((1,), bool))
+        space = env.action_space
+        low = np.asarray(space.low, np.float32)
+        high = np.where(np.isinf(space.high), 1e4, space.high).astype(np.float32)
+        a = networks.squash_action(mean[0], jnp.asarray(low), jnp.asarray(high))
+        return np.asarray(a).astype(space.dtype)
+
+    def device_policy(self, env, params):
+        return None  # recurrent eval needs carry threading; host path only
