@@ -454,30 +454,70 @@ class NetInvMgmtMasterEnv(gym.Env):
         self.action_space = net.action_space(self.params).to_gymnasium()
 
         self.period = 0
-        self.X = self.Y = self.R = self.S = self.D = self.U = self.P = None
+        self._frames = {}
 
     def _default_topology(self, num_periods):
         return topo_mod.default_topology(num_periods, user_D=self.user_D,
                                          sample_path=self.sample_path)
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[Dict] = None):
-        import pandas as pd
         super().reset(seed=seed)
         T, J = self.num_periods, len(self.main_nodes)
         RM, PS = len(self.retail_links), len(self.reorder_links)
         SL = len(self.network_links)
-        mi = pd.MultiIndex.from_tuples
-        self.X = pd.DataFrame(np.zeros([T + 1, J]), columns=self.main_nodes)
-        self.Y = pd.DataFrame(np.zeros([T + 1, PS]), columns=mi(self.reorder_links))
-        self.R = pd.DataFrame(np.zeros([T, PS]), columns=mi(self.reorder_links))
-        self.S = pd.DataFrame(np.zeros([T, SL]), columns=mi(self.network_links))
-        self.D = pd.DataFrame(np.zeros([T, RM]), columns=mi(self.retail_links))
-        self.U = pd.DataFrame(np.zeros([T + 1, RM]), columns=mi(self.retail_links))
-        self.P = pd.DataFrame(np.zeros([T, J]), columns=self.main_nodes)
+        # internal numpy state (hot path); pandas frames are lazy views below
+        self._X = np.zeros((T + 1, J))
+        self._Y = np.zeros((T + 1, PS))
+        self._R = np.zeros((T, PS))
+        self._S = np.zeros((T, SL))
+        self._D = np.zeros((T, RM))
+        self._U = np.zeros((T + 1, RM))
+        self._P = np.zeros((T, J))
+        self._frames = {}
+        # column position of each edge in the sorted network_links S frame
+        self._s_col = {e: i for i, e in enumerate(self.network_links)}
         self.period = 0
-        topo = self.topology
-        self.X.loc[0, list(self.main_nodes)] = list(topo.I0)
+        self._X[0, :] = list(self.topology.I0)
         return self._get_obs(), self._get_info()
+
+    # -- pandas frame views (reference layout), rebuilt lazily per step ----
+    def _frame(self, name, data, columns, multi):
+        import pandas as pd
+        cached = self._frames.get(name)
+        if cached is None:
+            cols = (pd.MultiIndex.from_tuples(columns) if multi
+                    else list(columns))
+            cached = pd.DataFrame(data.copy(), columns=cols)
+            self._frames[name] = cached
+        return cached
+
+    @property
+    def X(self):
+        return self._frame("X", self._X, self.main_nodes, False)
+
+    @property
+    def Y(self):
+        return self._frame("Y", self._Y, self.reorder_links, True)
+
+    @property
+    def R(self):
+        return self._frame("R", self._R, self.reorder_links, True)
+
+    @property
+    def S(self):
+        return self._frame("S", self._S, self.network_links, True)
+
+    @property
+    def D(self):
+        return self._frame("D", self._D, self.retail_links, True)
+
+    @property
+    def U(self):
+        return self._frame("U", self._U, self.retail_links, True)
+
+    @property
+    def P(self):
+        return self._frame("P", self._P, self.main_nodes, False)
 
     def _sample_demands(self) -> np.ndarray:
         """Per retail link, in declaration order (network_management.py:536-540)."""
@@ -498,7 +538,7 @@ class NetInvMgmtMasterEnv(gym.Env):
         T = self.topology
         t = self.period
         n_main = T.n_main
-        X_t = self.X.loc[t, list(self.main_nodes)].to_numpy(dtype=np.float64)
+        X_t = self._X[t]
 
         # 0) sequential order fulfillment with supplier contention
         requests = np.maximum(0, np.round(np.asarray(action, np.float64).reshape(-1)))
@@ -514,9 +554,9 @@ class NetInvMgmtMasterEnv(gym.Env):
                     avail = min(avail, min(T.C[sup], T.v[sup] * avail))
                 r_cur[i] = min(requests[i], avail)
                 consumed[sup] += r_cur[i] / T.v[sup]
-        self.R.loc[t] = r_cur
+        self._R[t] = r_cur
         for i, e in enumerate(T.reorder_links):
-            self.S.loc[t, e] = r_cur[i]
+            self._S[t, self._s_col[e]] = r_cur[i]
 
         # 1) deliveries + pipeline
         arriving = np.zeros(T.n_reorder)
@@ -524,8 +564,8 @@ class NetInvMgmtMasterEnv(gym.Env):
             if L == 0:
                 arriving[i] = r_cur[i]
             elif t - L >= 0:
-                arriving[i] = self.R.loc[t - L].iloc[i]
-        self.Y.loc[t + 1] = self.Y.loc[t].to_numpy() - arriving + r_cur
+                arriving[i] = self._R[t - L, i]
+        self._Y[t + 1] = self._Y[t] - arriving + r_cur
         arrivals_node = np.zeros(n_main)
         np.add.at(arrivals_node, np.asarray(T.ro_pur_main), arriving)
         X_mid = X_t + arrivals_node - consumed
@@ -534,18 +574,18 @@ class NetInvMgmtMasterEnv(gym.Env):
         d = self._sample_demands()
         sales_rt = np.zeros(T.n_retail)
         U_new = np.zeros(T.n_retail)
-        U_t = self.U.loc[t].to_numpy(dtype=np.float64)
+        U_t = self._U[t]
         for j in range(T.n_retail):
             ret = T.rt_retailer_main[j]
-            self.D.loc[t, T.retail_links[j]] = d[j]
+            self._D[t, j] = d[j]
             to_fill = d[j] + U_t[j]
             s = min(to_fill, max(0.0, X_mid[ret]))
             X_mid[ret] -= s
             sales_rt[j] = s
-            self.S.loc[t, T.retail_links[j]] = s
+            self._S[t, self._s_col[T.retail_links[j]]] = s
             U_new[j] = (to_fill - s) if self.backlog else 0.0
-        self.U.loc[t + 1] = U_new
-        self.X.loc[t + 1] = X_mid
+        self._U[t + 1] = U_new
+        self._X[t + 1] = X_mid
 
         # 5) per-node profit
         ro_sup = np.asarray(T.ro_sup_main)
@@ -562,17 +602,17 @@ class NetInvMgmtMasterEnv(gym.Env):
             np.asarray(T.rt_price) * sales_rt, rt_ret)
         PC = seg(np.asarray(T.ro_price) * r_cur, ro_pur)
         HC = (np.asarray(T.h) * np.maximum(0, X_mid)
-              + seg(np.asarray(T.ro_g) * np.maximum(0, self.Y.loc[t + 1].to_numpy()),
-                    ro_pur))
+              + seg(np.asarray(T.ro_g) * np.maximum(0, self._Y[t + 1]), ro_pur))
         sold = seg(r_cur, ro_sup) + seg(sales_rt, rt_ret)
         OC = np.where(np.asarray(T.is_factory),
                       np.asarray(T.o) * sold / np.asarray(T.v), 0.0)
         UP = seg(np.asarray(T.rt_b) * U_new, rt_ret)
         node_profit = SR - PC - OC - HC - UP
-        self.P.loc[t] = node_profit
+        self._P[t] = node_profit
         total = float(node_profit.sum())
         reward = (self.alpha ** t) * total
 
+        self._frames = {}  # invalidate lazy pandas views
         self.period += 1
         truncated = self.period >= self.num_periods
         info = self._get_info()
@@ -582,31 +622,32 @@ class NetInvMgmtMasterEnv(gym.Env):
 
     def _get_obs(self):
         t = self.period
-        parts = [self.U.loc[t].to_numpy(dtype=np.float32),
-                 self.X.loc[t].to_numpy(dtype=np.float32)]
+        parts = [self._U[t].astype(np.float32), self._X[t].astype(np.float32)]
         for i, edge in enumerate(self.topology.reorder_links):
             L = self.topology.ro_L[i]
             if L == 0:
                 continue
             window = np.zeros(L, dtype=np.float32)
             lo = max(0, t - L)
-            past = self.R.iloc[lo:t, i].to_numpy() if t > 0 else np.array([])
+            past = self._R[lo:t, i] if t > 0 else np.array([])
             if len(past):
                 window[-len(past):] = past
             parts.append(window)
         return np.concatenate(parts).astype(np.float32)
 
     def _get_info(self):
-        info = {"period": self.period,
-                "inventory": self.X.iloc[self.period].to_dict(),
-                "pipeline": self.Y.iloc[self.period].to_dict(),
-                "backlog_start": self.U.iloc[self.period].to_dict()}
-        if self.period > 0:
-            tp = self.period - 1
-            info.update(demand_prev=self.D.iloc[tp].to_dict(),
-                        sales_prev=self.S.iloc[tp].to_dict(),
-                        profit_node_prev=self.P.iloc[tp].to_dict(),
-                        profit_total_prev=self.P.iloc[tp].sum())
+        t = self.period
+        info = {"period": t,
+                "inventory": dict(zip(self.main_nodes, self._X[t])),
+                "pipeline": dict(zip(self.reorder_links, self._Y[t])),
+                "backlog_start": dict(zip(self.retail_links, self._U[t]))}
+        if t > 0:
+            tp = t - 1
+            info.update(
+                demand_prev=dict(zip(self.retail_links, self._D[tp])),
+                sales_prev=dict(zip(self.network_links, self._S[tp])),
+                profit_node_prev=dict(zip(self.main_nodes, self._P[tp])),
+                profit_total_prev=self._P[tp].sum())
         return info
 
     def sample_action(self):
