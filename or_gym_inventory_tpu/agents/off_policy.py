@@ -345,7 +345,7 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
         m["timesteps"] = done_iters * cfg.num_envs
         metrics_log.append(m)
         if progress:
-            progress(m)
+            progress(m, state)
     stacked = {k: np.array([m[k] for m in metrics_log])
                for k in metrics_log[0]} if metrics_log else {}
     return state, eval_policy, stacked

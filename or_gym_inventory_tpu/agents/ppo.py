@@ -345,7 +345,7 @@ def train(env: Environment, env_params, cfg: PPOConfig, key: jax.Array,
         metrics["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
         metrics_log.append(metrics)
         if progress is not None:
-            progress(metrics)
+            progress(metrics, state)
     stacked = {k: np.array([m[k] for m in metrics_log])
                for k in metrics_log[0]} if metrics_log else {}
     return state, stacked
@@ -385,7 +385,8 @@ class PPOAgent(BaseAgent):
                  config: Optional[PPOConfig] = None,
                  model_dir: str = "./models", log_dir: str = "./logs",
                  force_retrain: bool = False, mesh: Optional[Mesh] = None,
-                 seed: int = 0):
+                 seed: int = 0, eval_every_updates: int = 0,
+                 eval_episodes: int = 64):
         super().__init__(name=name)
         self.env = env
         self.params_factory = params_factory
@@ -394,6 +395,12 @@ class PPOAgent(BaseAgent):
         self.force_retrain = force_retrain
         self.mesh = mesh
         self.seed = seed
+        # EvalCallback-equivalent (reference SB3AgentWrapper keeps the best
+        # checkpoint from periodic deterministic evals and loads it after
+        # training, benchmark_InvManagementBacklogEnv.py:275-281, 303-311).
+        # 0 = disabled (final model used).
+        self.eval_every_updates = eval_every_updates
+        self.eval_episodes = eval_episodes
         self.env_params = None
         self.train_state = None
         self.training_log = None
@@ -445,8 +452,30 @@ class PPOAgent(BaseAgent):
         print(f"Training {self.name} for {total_timesteps} steps...")
         start = time.time()
         key = jax.random.PRNGKey(self.seed)
+        best = {"reward": -np.inf, "params": None, "rms": None}
+        progress = None
+        if self.eval_every_updates > 0:
+            # EvalCallback equivalent: periodic deterministic eval, keep best
+            from or_gym_inventory_tpu.vector import vecenv as _ve
+            eval_pol = make_eval_policy(self.env, self.env_params, self.config)
+
+            def progress(m, st):
+                if m["update"] % self.eval_every_updates:
+                    return
+                totals, _ = _ve.evaluate_episodes(
+                    self.env, self.env_params, eval_pol,
+                    (st.params, st.rms), jax.random.PRNGKey(self.seed + 1),
+                    self.eval_episodes)
+                mean = float(np.mean(np.asarray(totals)))
+                if mean > best["reward"]:
+                    best.update(reward=mean, params=st.params, rms=st.rms)
+
         state, metrics = train(self.env, self.env_params, self.config, key,
-                               total_timesteps, mesh=self.mesh)
+                               total_timesteps, mesh=self.mesh,
+                               progress=progress)
+        if best["params"] is not None:
+            print(f"Loading best model (eval reward {best['reward']:.2f})")
+            state = state.replace(params=best["params"], rms=best["rms"])
         self.train_state = state
         self.training_log = metrics
         self.training_time = time.time() - start

@@ -236,7 +236,7 @@ def train(env: Environment, env_params, cfg: RecurrentPPOConfig,
         m["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
         metrics_log.append(m)
         if progress:
-            progress(m)
+            progress(m, state)
     stacked = {k: np.array([mm[k] for mm in metrics_log])
                for k in metrics_log[0]} if metrics_log else {}
     return state, eval_episodes, stacked
