@@ -402,6 +402,7 @@ class OffPolicyAgent(BaseAgent):
             actor_params=restored["actor"],
             rms=RunningMeanStd(**restored["rms"]))
         self._eval_policy = jax.jit(eval_policy)
+        self._eval_ps = None
 
     def train(self, env_config: dict, total_timesteps: int,
               save_path_prefix: str = ""):
@@ -420,6 +421,7 @@ class OffPolicyAgent(BaseAgent):
             jax.random.PRNGKey(self.seed), total_timesteps)
         self.state = state
         self._eval_policy = jax.jit(eval_policy)
+        self._eval_ps = None
         self.training_log = metrics
         self.training_time = time.time() - start
         self.save(ckpt)
@@ -435,12 +437,27 @@ class OffPolicyAgent(BaseAgent):
                     w.writerow({k: metrics[k][i] for k in metrics})
         print(f"Training for {self.name} finished in {self.training_time:.2f}s")
 
+    def _ensure_eval_ps(self):
+        """CPU-pinned copy of (actor_params, rms) for latency-bound host eval
+        (see PPOAgent._ensure_policy)."""
+        if getattr(self, "_eval_ps", None) is None:
+            ps = (self.state.actor_params, self.state.rms)
+            key = jax.random.PRNGKey(0)
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+                ps = jax.device_put(ps, cpu)
+                key = jax.device_put(key, cpu)
+            except RuntimeError:
+                pass
+            self._eval_ps, self._eval_key = ps, key
+        return self._eval_ps
+
     def get_action(self, observation, env):
         if self.state is None:
             return env.action_space.sample().astype(env.action_space.dtype)
-        obs = jnp.asarray(observation, jnp.float32)[None]
-        a = self._eval_policy((self.state.actor_params, self.state.rms), obs,
-                              jax.random.PRNGKey(0), jnp.zeros((), jnp.int32))
+        ps = self._ensure_eval_ps()
+        obs = np.asarray(observation, np.float32)[None]
+        a = self._eval_policy(ps, obs, self._eval_key, np.zeros((), np.int32))
         return np.asarray(a[0]).astype(env.action_space.dtype)
 
     def device_policy(self, env, params):

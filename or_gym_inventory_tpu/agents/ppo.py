@@ -477,6 +477,7 @@ class PPOAgent(BaseAgent):
             print(f"Loading best model (eval reward {best['reward']:.2f})")
             state = state.replace(params=best["params"], rms=best["rms"])
         self.train_state = state
+        self._eval_policy = None
         self.training_log = metrics
         self.training_time = time.time() - start
         self.save(ckpt)
@@ -493,9 +494,22 @@ class PPOAgent(BaseAgent):
 
     # -- evaluation ------------------------------------------------------
     def _ensure_policy(self):
+        """Single-obs host eval is latency-bound: pin a CPU copy of the
+        policy state and a CPU-jitted apply (a per-step accelerator
+        round-trip would dominate episode time)."""
         if self._eval_policy is None:
-            self._eval_policy = jax.jit(make_eval_policy(
-                self.env, self.env_params, self.config))
+            policy = make_eval_policy(self.env, self.env_params, self.config)
+            ps = (self.train_state.params, self.train_state.rms)
+            key = jax.random.PRNGKey(0)
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+                ps = jax.device_put(ps, cpu)
+                key = jax.device_put(key, cpu)
+            except RuntimeError:
+                pass
+            self._eval_policy = jax.jit(policy)
+            self._eval_ps = ps
+            self._eval_key = key
         return self._eval_policy
 
     def get_action(self, observation, env):
@@ -503,9 +517,8 @@ class PPOAgent(BaseAgent):
             a = env.action_space.sample()
             return a.astype(env.action_space.dtype)
         policy = self._ensure_policy()
-        obs = jnp.asarray(observation, jnp.float32)[None]
-        a = policy((self.train_state.params, self.train_state.rms), obs,
-                   jax.random.PRNGKey(0), jnp.zeros((), jnp.int32))
+        obs = np.asarray(observation, np.float32)[None]
+        a = policy(self._eval_ps, obs, self._eval_key, np.zeros((), np.int32))
         return np.asarray(a[0]).astype(env.action_space.dtype)
 
     def device_policy(self, env, params):
