@@ -253,6 +253,10 @@ class InvManagementMasterEnv(gym.Env):
         self.LS = np.zeros((periods, m), dtype=np.int64)
         self.P = np.zeros(periods, dtype=np.float32)
         self.action_log = np.zeros((periods, m - 1), dtype=np.int64)
+        # step scratch buffers (avoid per-step np.append allocations)
+        self._supplier_inv_buf = np.empty(m - 1, dtype=np.float64)
+        self._supplier_inv_buf[-1] = np.inf
+        self._inv_ext_buf = np.zeros(m, dtype=np.int64)
         self.period = 0
         self.I[0, :] = self.init_inv
         return self._get_obs(), self._get_info()
@@ -280,7 +284,9 @@ class InvManagementMasterEnv(gym.Env):
         order_request = r_requested.copy()
         if t >= 1:
             order_request += self.B[t, 1:]
-        supplier_inv = np.append(self.I[t, 1:], np.inf)
+        # supplier on-hand caps; last stage draws from unbounded raw material
+        supplier_inv = self._supplier_inv_buf
+        supplier_inv[:-1] = self.I[t, 1:]
         r_fulfill = np.minimum(np.minimum(order_request, c),
                                supplier_inv).astype(np.int64)
         self.R[t, :] = r_fulfill
@@ -311,20 +317,23 @@ class InvManagementMasterEnv(gym.Env):
             self.LS[t, :] = U
             self.B[t + 1, :] = 0
 
-        revenue = self.unit_price * S
-        procurement = self.unit_cost * S
-        holding = self.holding_cost * np.maximum(0, np.append(inv, 0))
-        penalty = self.demand_cost * U
-        period_profit = float(np.sum(revenue - procurement - holding - penalty))
+        inv_ext = self._inv_ext_buf
+        inv_ext[:-1] = inv
+        np.maximum(inv_ext, 0, out=inv_ext)
+        revenue = float(self.unit_price @ S)
+        procurement = float(self.unit_cost @ S)
+        holding = float(self.holding_cost @ inv_ext)
+        penalty = float(self.demand_cost @ U)
+        period_profit = revenue - procurement - holding - penalty
         reward = (self.alpha ** t) * period_profit
         self.P[t] = reward
         self.I[t + 1, :] = inv
 
         self.period += 1
         info = self._get_info()
-        info.update(period_profit=period_profit, revenue=revenue.sum(),
-                    procurement_cost=procurement.sum(), holding_cost=holding.sum(),
-                    penalty_cost=penalty.sum(), demand_realized=demand,
+        info.update(period_profit=period_profit, revenue=revenue,
+                    procurement_cost=procurement, holding_cost=holding,
+                    penalty_cost=penalty, demand_realized=demand,
                     sales=S, unfulfilled=U, ending_inventory=inv,
                     backlog_start_of_next=self.B[t + 1, :])
         truncated = self.period >= self.num_periods
