@@ -39,7 +39,10 @@ MODEL_DIR = f"./models_{ENV_NAME_SHORT}"
 LOG_DIR = f"./logs_{ENV_NAME_SHORT}"
 
 params_factory = partial(nv.default_params)
-PPO_CFG = PPOConfig(num_envs=256, rollout_steps=25, num_minibatches=8)
+# TPU-shaped on-policy batch (validated: learns past the heuristics within a
+# wall-clock budget comparable to SB3's 30k-step runs)
+PPO_CFG = PPOConfig(num_envs=2048, rollout_steps=40, num_minibatches=16,
+                    update_epochs=4, ent_coef=0.0)
 OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
                           start_steps=1_000)
 
@@ -55,7 +58,7 @@ if __name__ == "__main__":
         ("SAC", SACAgent(nv.ENV, params_factory, config=OFF_CFG, **rl)),
         ("TD3", TD3Agent(nv.ENV, params_factory, config=OFF_CFG, **rl)),
         ("A2C", A2CAgent(nv.ENV, params_factory,
-                         config=A2CConfig(num_envs=256), **rl)),
+                         config=A2CConfig(num_envs=2048, rollout_steps=20), **rl)),
     ]
     run_benchmark(ENV_NAME_SHORT, agents, ad.NewsvendorEnv, ENV_CONFIG_EVAL,
                   N_EVAL_EPISODES, SEED_OFFSET, RL_TRAINING_TIMESTEPS,
