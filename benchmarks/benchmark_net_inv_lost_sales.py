@@ -11,6 +11,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import benchmark_net_inv_backlog as nb
 from or_gym_inventory_tpu.bench.runner import run_benchmark
