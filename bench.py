@@ -21,7 +21,7 @@ from or_gym_inventory_tpu.vector import vecenv
 
 REFERENCE_STEPS_PER_S = 78.0  # BASELINE.md: NetInvMgmtBacklogEnv, 2-vCPU host
 
-NUM_ENVS = 16384
+NUM_ENVS = 262144
 NUM_STEPS = 30
 
 
