@@ -38,11 +38,15 @@ def main():
                                  NUM_ENVS, NUM_STEPS)
         return jnp.sum(traj.reward)
 
-    run(jax.random.PRNGKey(0)).block_until_ready()  # compile
+    # NOTE: timing forces a host fetch of the result (float(...)) rather than
+    # relying on block_until_ready — on the axon-relayed TPU backend
+    # block_until_ready was observed to return before execution completes,
+    # which silently measures dispatch rather than compute.
+    float(run(jax.random.PRNGKey(0)))  # compile
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        run(jax.random.PRNGKey(i + 1)).block_until_ready()
+        float(run(jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
     best = min(times)
     steps_per_s = NUM_ENVS * NUM_STEPS / best

@@ -39,11 +39,13 @@ def main():
             f = jax.jit(lambda key, n=batch: vecenv.rollout(
                 env, params, policy, None, key, n, steps)[1].reward.sum())
             try:
-                f(jax.random.PRNGKey(0)).block_until_ready()
+                # host fetch, not block_until_ready: the axon-relayed backend's
+                # block was observed to return before execution completes
+                float(f(jax.random.PRNGKey(0)))
                 times = []
                 for i in range(3):
                     t0 = time.perf_counter()
-                    f(jax.random.PRNGKey(i)).block_until_ready()
+                    float(f(jax.random.PRNGKey(i)))
                     times.append(time.perf_counter() - t0)
                 best = min(times)
                 print(json.dumps({

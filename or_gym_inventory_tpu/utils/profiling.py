@@ -18,17 +18,18 @@ import jax
 def measure_steps_per_second(fn: Callable, *args, steps_per_call: int,
                              warmup: int = 1, iters: int = 5) -> Dict:
     """Time a jitted program; returns compile time, best/mean exec time, and
-    steps/s. ``fn(*args)`` must return a jax array (block_until_ready'd)."""
+    steps/s. Results are fetched to host (device_get) each iteration —
+    block_until_ready alone was observed not to synchronize on the
+    axon-relayed TPU backend, silently measuring dispatch time."""
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(fn(*args))
     compile_and_first = time.perf_counter() - t0
     for _ in range(max(0, warmup - 1)):
-        jax.block_until_ready(fn(*args))
+        jax.device_get(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.device_get(fn(*args))
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {
