@@ -38,7 +38,8 @@ LOG_DIR = f"./logs_{ENV_NAME_SHORT}"
 
 env_factory = ad.InvManagementBacklogEnv if BACKLOG else ad.InvManagementLostSalesEnv
 params_factory = partial(im.default_params, backlog=BACKLOG)
-PPO_CFG = PPOConfig(num_envs=256, rollout_steps=25, num_minibatches=8)
+PPO_CFG = PPOConfig(num_envs=2048, rollout_steps=50, num_minibatches=16,
+                    update_epochs=4)
 OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
                           start_steps=1_000)
 
@@ -54,10 +55,11 @@ def build_agents():
         ("PPO", PPOAgent(E, pf, name="PPO", config=PPO_CFG, **rl)),
         ("SAC", SACAgent(E, pf, config=OFF_CFG, **rl)),
         ("TD3", TD3Agent(E, pf, config=OFF_CFG, **rl)),
-        ("A2C", A2CAgent(E, pf, config=A2CConfig(num_envs=256), **rl)),
+        ("A2C", A2CAgent(E, pf, config=A2CConfig(num_envs=2048,
+                                                 rollout_steps=20), **rl)),
         ("DDPG", DDPGAgent(E, pf, config=OFF_CFG, **rl)),
         ("PPO_LargeBuffer", PPOAgent(E, pf, name="PPO_LargeBuffer",
-                                     config=PPO_CFG.replace(rollout_steps=50), **rl)),
+                                     config=PPO_CFG.replace(rollout_steps=100), **rl)),
         ("SAC_LowLR", SACAgent(E, pf, name="SAC_LowLR",
                                config=OFF_CFG.replace(lr=1e-4), **rl)),
         ("PPO_SmallNet", PPOAgent(E, pf, name="PPO_SmallNet",
@@ -70,7 +72,7 @@ def build_agents():
         # cannot provide (SURVEY.md §4); this is a working recurrent policy
         ("PPO_LSTM", RecurrentPPOAgent(
             E, pf, name="PPO_LSTM",
-            config=RecurrentPPOConfig(num_envs=256, rollout_steps=25,
+            config=RecurrentPPOConfig(num_envs=512, rollout_steps=50,
                                       num_minibatches=8), **rl)),
     ]
 

@@ -41,7 +41,8 @@ def params_factory(env_config=None):
     return net.default_params(env_config=cfg, topology=topology, backlog=True)
 
 
-PPO_CFG = PPOConfig(num_envs=256, rollout_steps=40, num_minibatches=8)
+PPO_CFG = PPOConfig(num_envs=2048, rollout_steps=40, num_minibatches=16,
+                    update_epochs=4)
 OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
                           start_steps=1_000)
 
@@ -56,7 +57,8 @@ def build_agents(env_factory_cls):
         ("PPO", PPOAgent(E, pf, name="PPO", config=PPO_CFG, **rl)),
         ("SAC", SACAgent(E, pf, config=OFF_CFG, **rl)),
         ("TD3", TD3Agent(E, pf, config=OFF_CFG, **rl)),
-        ("A2C", A2CAgent(E, pf, config=A2CConfig(num_envs=256), **rl)),
+        ("A2C", A2CAgent(E, pf, config=A2CConfig(num_envs=2048,
+                                                 rollout_steps=20), **rl)),
         ("DDPG", DDPGAgent(E, pf, config=OFF_CFG, **rl)),
     ]
 
