@@ -55,8 +55,7 @@ def build_agents():
         ("PPO", PPOAgent(E, pf, name="PPO", config=PPO_CFG, **rl)),
         ("SAC", SACAgent(E, pf, config=OFF_CFG, **rl)),
         ("TD3", TD3Agent(E, pf, config=OFF_CFG, **rl)),
-        ("A2C", A2CAgent(E, pf, config=A2CConfig(num_envs=2048,
-                                                 rollout_steps=20), **rl)),
+        ("A2C", A2CAgent(E, pf, config=A2CConfig(), **rl)),
         ("DDPG", DDPGAgent(E, pf, config=OFF_CFG, **rl)),
         ("PPO_LargeBuffer", PPOAgent(E, pf, name="PPO_LargeBuffer",
                                      config=PPO_CFG.replace(rollout_steps=100), **rl)),

@@ -58,7 +58,7 @@ if __name__ == "__main__":
         ("SAC", SACAgent(nv.ENV, params_factory, config=OFF_CFG, **rl)),
         ("TD3", TD3Agent(nv.ENV, params_factory, config=OFF_CFG, **rl)),
         ("A2C", A2CAgent(nv.ENV, params_factory,
-                         config=A2CConfig(num_envs=2048, rollout_steps=20), **rl)),
+                         config=A2CConfig(), **rl)),
     ]
     run_benchmark(ENV_NAME_SHORT, agents, ad.NewsvendorEnv, ENV_CONFIG_EVAL,
                   N_EVAL_EPISODES, SEED_OFFSET, RL_TRAINING_TIMESTEPS,

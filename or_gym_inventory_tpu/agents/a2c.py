@@ -14,7 +14,7 @@ from typing import Tuple
 from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
 
 
-def A2CConfig(num_envs: int = 1024, rollout_steps: int = 16, lr: float = 7e-4,
+def A2CConfig(num_envs: int = 256, rollout_steps: int = 8, lr: float = 7e-4,
               gamma: float = 0.99, gae_lambda: float = 1.0,
               ent_coef: float = 0.0, vf_coef: float = 0.5,
               max_grad_norm: float = 0.5,
