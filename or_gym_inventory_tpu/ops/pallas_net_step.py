@@ -1,0 +1,216 @@
+"""Pallas fused kernel for the NetInvMgmt step.
+
+The XLA path compiles one env period into ~150 small VPU ops whose
+intermediates round-trip HBM between fusion boundaries (measured ~59 GB/s
+effective at 262k envs — ~7% of v5e HBM peak; PERFORMANCE.md). This kernel
+computes the ENTIRE period — sequential supplier contention, deliveries,
+retail fulfillment, per-node profit — in one pallas_call with the state tile
+resident in VMEM.
+
+Layout: struct-of-rows with the **batch in the lane dimension** — state
+arrays are (rows, B) so every vector op runs 128-wide regardless of how few
+links/nodes the topology has. The grid partitions the batch; topology
+constants (link tables, prices, lead times) are baked into the kernel at
+trace time from the static Topology, exactly like the XLA path.
+
+Semantics match envs/net_inv_management.step_with_demand exactly (same
+reference event order, network_management.py:436-635); pinned by
+tests/test_pallas_net_step.py against the XLA implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from or_gym_inventory_tpu.envs.net_inv_management import NetInvParams
+
+
+def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
+                 X_ref, Y_ref, U_ref, RH_ref, act_ref, dem_ref, tmask_ref,
+                 disc_ref,
+                 Xo_ref, Yo_ref, Uo_ref, RHo_ref, rew_ref):
+    """One period for a (rows, B_tile) state tile. ``T`` is the static
+    Topology; tmask_ref[l] = 1.0 iff t >= ro_L[l] (arrival valid)."""
+    # --- load rows as (B,) vectors ---
+    X = [X_ref[i, :] for i in range(n_main)]
+    Y = [Y_ref[i, :] for i in range(n_ro)]
+    U = [U_ref[i, :] for i in range(n_rt)]
+
+    # --- 0) order fulfillment with sequential supplier contention ---
+    consumed = [jnp.zeros_like(X[0]) for _ in range(n_main)]
+    r_cur = []
+    for i in range(n_ro):
+        req = jnp.maximum(0.0, jnp.round(act_ref[i, :]))
+        sup = T.ro_sup_main[i]
+        if sup < 0:
+            fulfilled = req
+        else:
+            remaining = X[sup] - consumed[sup]
+            avail = jnp.maximum(0.0, remaining)
+            if T.is_factory[sup]:
+                avail = jnp.minimum(avail, jnp.minimum(T.C[sup], T.v[sup] * avail))
+            fulfilled = jnp.minimum(req, avail)
+            consumed[sup] = consumed[sup] + fulfilled / T.v[sup]
+        r_cur.append(fulfilled)
+
+    # --- 1) deliveries + pipeline ---
+    arriving = []
+    for i, L in enumerate(T.ro_L):
+        if L == 0:
+            arriving.append(r_cur[i])
+        else:
+            arriving.append(RH_ref[(L - 1) * n_ro + i, :] * tmask_ref[i, :])
+    Y_new = [Y[i] - arriving[i] + r_cur[i] for i in range(n_ro)]
+    arrivals_node = [jnp.zeros_like(X[0]) for _ in range(n_main)]
+    for i in range(n_ro):
+        arrivals_node[T.ro_pur_main[i]] = arrivals_node[T.ro_pur_main[i]] + arriving[i]
+    X_mid = [X[j] + arrivals_node[j] - consumed[j] for j in range(n_main)]
+
+    # --- 2-4) sequential retail fulfillment ---
+    sales_rt, U_new = [], []
+    for j in range(n_rt):
+        ret = T.rt_retailer_main[j]
+        d = jnp.maximum(0.0, jnp.round(dem_ref[j, :]))
+        to_fill = d + U[j]
+        inv_r = jnp.maximum(0.0, X_mid[ret])
+        s = jnp.minimum(to_fill, inv_r)
+        X_mid[ret] = X_mid[ret] - s
+        sales_rt.append(s)
+        unf = to_fill - s
+        U_new.append(unf if backlog else jnp.zeros_like(unf))
+
+    # --- 5) per-node profit ---
+    zero = jnp.zeros_like(X[0])
+    SR = [zero] * n_main
+    PC = [zero] * n_main
+    HCp = [zero] * n_main
+    sold = [zero] * n_main
+    for i in range(n_ro):
+        sup, pur = T.ro_sup_main[i], T.ro_pur_main[i]
+        rev = T.ro_price[i] * r_cur[i]
+        if sup >= 0:
+            SR[sup] = SR[sup] + rev
+            sold[sup] = sold[sup] + r_cur[i]
+        PC[pur] = PC[pur] + rev
+        HCp[pur] = HCp[pur] + T.ro_g[i] * jnp.maximum(0.0, Y_new[i])
+    UP = [zero] * n_main
+    for j in range(n_rt):
+        ret = T.rt_retailer_main[j]
+        SR[ret] = SR[ret] + T.rt_price[j] * sales_rt[j]
+        sold[ret] = sold[ret] + sales_rt[j]
+        UP[ret] = UP[ret] + T.rt_b[j] * U_new[j]
+
+    total = jnp.zeros_like(X[0])
+    for n in range(n_main):
+        HC = T.h[n] * jnp.maximum(0.0, X_mid[n]) + HCp[n]
+        OC = (T.o[n] * sold[n] / T.v[n]) if T.is_factory[n] else zero
+        total = total + (SR[n] - PC[n] - OC - HC - UP[n])
+    rew_ref[0, :] = disc_ref[0, :] * total
+
+    # --- write state ---
+    for n in range(n_main):
+        Xo_ref[n, :] = X_mid[n]
+    for i in range(n_ro):
+        Yo_ref[i, :] = Y_new[i]
+    for j in range(n_rt):
+        Uo_ref[j, :] = U_new[j]
+    # r_hist shift: newest first
+    for i in range(n_ro):
+        RHo_ref[i, :] = r_cur[i]
+    for row in range(lt - 1):
+        for i in range(n_ro):
+            RHo_ref[(row + 1) * n_ro + i, :] = RH_ref[row * n_ro + i, :]
+
+
+def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,
+                 block: int = 2048, interpret: bool = False):
+    """One fused period over a transposed batch.
+
+    Shapes (rows, B): X (n_main, B), Y (n_reorder, B), U (n_retail, B),
+    RH (lt_max*n_reorder, B) newest-first, action (n_reorder, B),
+    demand (n_retail, B); t is a scalar int32 (same for the lockstep batch).
+    Returns (X', Y', U', RH', reward (B,)).
+    """
+    T = params.topology
+    n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
+    lt = max(T.lt_max, 1)
+    B = X.shape[1]
+    assert B % block == 0, (B, block)
+    grid = (B // block,)
+
+    # broadcast per-link arrival validity and the period discount to rows
+    tmask = (t >= jnp.asarray(T.ro_L, jnp.int32)[:, None]).astype(jnp.float32)
+    tmask = jnp.broadcast_to(tmask, (n_ro, B))
+    disc = jnp.broadcast_to(
+        (params.alpha ** t.astype(jnp.float32))[None, None], (1, B))
+
+    def spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(_kernel_body, T, params.backlog, n_main, n_ro, n_rt, lt)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_main, B), jnp.float32),
+        jax.ShapeDtypeStruct((n_ro, B), jnp.float32),
+        jax.ShapeDtypeStruct((n_rt, B), jnp.float32),
+        jax.ShapeDtypeStruct((lt * n_ro, B), jnp.float32),
+        jax.ShapeDtypeStruct((1, B), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro),
+                  spec(n_ro), spec(n_rt), spec(n_ro), spec(1)],
+        out_specs=[spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro),
+                   spec(1)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(X, Y, U, RH, action, demand, tmask, disc)
+
+
+def init_transposed(params: NetInvParams, batch: int):
+    """Reset state in the kernel's (rows, B) layout."""
+    T = params.topology
+    lt = max(T.lt_max, 1)
+    X = jnp.broadcast_to(jnp.asarray(T.I0, jnp.float32)[:, None],
+                         (T.n_main, batch))
+    Y = jnp.zeros((T.n_reorder, batch), jnp.float32)
+    U = jnp.zeros((T.n_retail, batch), jnp.float32)
+    RH = jnp.zeros((lt * T.n_reorder, batch), jnp.float32)
+    return X, Y, U, RH
+
+
+def rollout_transposed(params: NetInvParams, key: jax.Array, batch: int,
+                       num_steps: int, action_value: float = None,
+                       block: int = 2048, interpret: bool = False):
+    """Random-action rollout through the fused kernel; returns summed reward
+    (the benchmark workload of bench.py, on the Pallas path)."""
+    T = params.topology
+    hi = T.order_cap_heuristic * 2
+    X, Y, U, RH = init_transposed(params, batch)
+
+    def body(carry, t):
+        X, Y, U, RH, key = carry
+        akey, dkey, key = jax.random.split(key, 3)
+        if action_value is None:
+            action = jax.random.uniform(akey, (T.n_reorder, batch),
+                                        minval=0.0, maxval=hi)
+        else:
+            action = jnp.full((T.n_reorder, batch), action_value)
+        lam = jnp.asarray([spec[1] if spec[0] == "poisson" else 0.0
+                           for spec in T.rt_demand], jnp.float32)
+        demand = jax.random.poisson(dkey, lam[:, None],
+                                    (T.n_retail, batch)).astype(jnp.float32)
+        X, Y, U, RH, rew = batched_step(params, X, Y, U, RH, action, demand,
+                                        t, block=block, interpret=interpret)
+        return (X, Y, U, RH, key), jnp.sum(rew)
+
+    (X, Y, U, RH, _), rewards = jax.lax.scan(
+        body, (X, Y, U, RH, key), jnp.arange(num_steps))
+    return jnp.sum(rewards)
