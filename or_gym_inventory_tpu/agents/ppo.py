@@ -56,7 +56,10 @@ class PPOConfig:
     activation: str = struct.field(pytree_node=False, default="tanh")
     anneal_lr: bool = struct.field(pytree_node=False, default=True)
     normalize_obs: bool = struct.field(pytree_node=False, default=True)
-    normalize_reward: bool = struct.field(pytree_node=False, default=False)
+    # inventory-env rewards span 1e2..1e6 across configs; scaling by the
+    # running std of discounted returns (VecNormalize-style) is the right
+    # default here
+    normalize_reward: bool = struct.field(pytree_node=False, default=True)
     optimizer: str = struct.field(pytree_node=False, default="adam")
 
     def num_updates(self, total_timesteps: int) -> int:
@@ -105,6 +108,8 @@ class PPOTrainState:
     params: dict
     opt_state: optax.OptState
     rms: RunningMeanStd
+    ret_rms: RunningMeanStd   # running std of discounted returns (reward norm)
+    ret_accum: jax.Array      # (num_envs,) discounted return accumulator
     env_state: object
     last_obs: jax.Array
     update_idx: jax.Array
@@ -143,7 +148,10 @@ def init_train_state(env: Environment, env_params, cfg: PPOConfig,
     env_state, ts0 = vecenv.batch_reset(env, env_params, r_key, n)
     return PPOTrainState(
         params=params, opt_state=opt_state,
-        rms=RunningMeanStd.create(obs_dim), env_state=env_state,
+        rms=RunningMeanStd.create(obs_dim),
+        ret_rms=RunningMeanStd.create(1),
+        ret_accum=jnp.zeros((n,), jnp.float32),
+        env_state=env_state,
         last_obs=ts0.obs, update_idx=jnp.zeros((), jnp.int32))
 
 
@@ -168,7 +176,7 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
 
         # ---------------- rollout (fused policy+env scan) ----------------
         def scan_step(carry, _):
-            env_state, obs, key = carry
+            env_state, obs, ret_accum, key = carry
             akey, skey, rkey, key = jax.random.split(key, 4)
             norm_obs = state.rms.normalize(obs) if cfg.normalize_obs \
                 else obs.astype(jnp.float32)
@@ -179,14 +187,30 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
                 env, env_params, env_state, to_env_action(raw), skey, n_envs)
             env_state, next_obs = vecenv.auto_reset(
                 env, env_params, env_state, ts, rkey, n_envs)
+            # running discounted return (for reward normalization stats)
+            ret_accum = ret_accum * cfg.gamma * (
+                1.0 - ts.done.astype(jnp.float32)) + ts.reward
             out = dict(obs=obs, raw=raw, logp=logp, value=value,
-                       reward=ts.reward, done=ts.done, final_obs=ts.obs)
-            return (env_state, next_obs, key), out
+                       reward=ts.reward, ret_accum=ret_accum,
+                       done=ts.done, final_obs=ts.obs)
+            return (env_state, next_obs, ret_accum, key), out
 
         roll_key, key = jax.random.split(key)
-        (env_state, last_obs, _), tr = jax.lax.scan(
-            scan_step, (state.env_state, state.last_obs, roll_key), None,
-            length=cfg.rollout_steps)
+        (env_state, last_obs, ret_accum, _), tr = jax.lax.scan(
+            scan_step,
+            (state.env_state, state.last_obs, state.ret_accum, roll_key),
+            None, length=cfg.rollout_steps)
+
+        if cfg.normalize_reward:
+            # scale rewards by the running std of discounted returns
+            # (VecNormalize-style); statistics shared across shards
+            ret_rms = state.ret_rms.update(
+                tr["ret_accum"].reshape(-1, 1), axis_name)
+            scale = jax.lax.rsqrt(ret_rms.var[0] + 1e-8)
+            tr = dict(tr, raw_reward=tr["reward"],
+                      reward=jnp.clip(tr["reward"] * scale, -10.0, 10.0))
+        else:
+            ret_rms = state.ret_rms
 
         # ------------------------------- GAE ------------------------------
         norm = state.rms.normalize if cfg.normalize_obs else \
@@ -274,7 +298,8 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
 
         # ------------------------------ metrics ---------------------------
         ep_count = jnp.maximum(jnp.sum(tr["done"]), 1)
-        mean_reward_per_step = jnp.mean(tr["reward"])
+        raw_rewards = tr.get("raw_reward", tr["reward"])
+        mean_reward_per_step = jnp.mean(raw_rewards)
         if axis_name is not None:
             mean_reward_per_step = jax.lax.pmean(mean_reward_per_step, axis_name)
         pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
@@ -283,8 +308,8 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             episodes=ep_count, pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
 
         new_state = PPOTrainState(
-            params=params, opt_state=opt_state, rms=rms,
-            env_state=env_state, last_obs=last_obs,
+            params=params, opt_state=opt_state, rms=rms, ret_rms=ret_rms,
+            ret_accum=ret_accum, env_state=env_state, last_obs=last_obs,
             update_idx=state.update_idx + 1)
         return new_state, metrics
 
@@ -317,7 +342,8 @@ def train(env: Environment, env_params, cfg: PPOConfig, key: jax.Array,
                                     total_updates, local_envs=local)
 
         state_spec = PPOTrainState(
-            params=P(), opt_state=P(), rms=P(),
+            params=P(), opt_state=P(), rms=P(), ret_rms=P(),
+            ret_accum=P(axis_name),
             env_state=P(axis_name), last_obs=P(axis_name), update_idx=P())
         init_fn = jax.shard_map(
             sharded_init, mesh=mesh, in_specs=P(axis_name),
