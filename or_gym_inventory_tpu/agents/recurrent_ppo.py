@@ -39,6 +39,8 @@ class RPPOTrainState:
     params: dict
     opt_state: optax.OptState
     rms: RunningMeanStd
+    ret_rms: RunningMeanStd
+    ret_accum: jax.Array
     env_state: object
     last_obs: jax.Array
     last_done: jax.Array
@@ -75,7 +77,10 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         env_state, ts0 = vecenv.batch_reset(env, env_params, rkey, cfg.num_envs)
         return RPPOTrainState(
             params=params, opt_state=tx.init(params),
-            rms=RunningMeanStd.create(obs_dim), env_state=env_state,
+            rms=RunningMeanStd.create(obs_dim),
+            ret_rms=RunningMeanStd.create(1),
+            ret_accum=jnp.zeros((cfg.num_envs,), jnp.float32),
+            env_state=env_state,
             last_obs=ts0.obs, last_done=jnp.zeros((cfg.num_envs,), bool),
             carry=carry0, update_idx=jnp.zeros((), jnp.int32))
 
@@ -86,7 +91,7 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         init_carry = state.carry
 
         def scan_step(scan_carry, _):
-            env_state, obs, done, carry, key = scan_carry
+            env_state, obs, done, carry, ret_accum, key = scan_carry
             akey, skey, rkey, key = jax.random.split(key, 4)
             carry, (mean, log_std, value) = model.apply(
                 state.params, carry, norm(obs), done)
@@ -96,15 +101,27 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
                 env, env_params, env_state, to_env_action(raw), skey, n_envs)
             env_state, next_obs = vecenv.auto_reset(
                 env, env_params, env_state, ts, rkey, n_envs)
+            ret_accum = ret_accum * cfg.gamma * (
+                1.0 - ts.done.astype(jnp.float32)) + ts.reward
             out = dict(obs=obs, done_in=done, raw=raw, logp=logp, value=value,
-                       reward=ts.reward, done=ts.done, final_obs=ts.obs)
-            return (env_state, next_obs, ts.done, carry, key), out
+                       reward=ts.reward, ret_accum=ret_accum,
+                       done=ts.done, final_obs=ts.obs)
+            return (env_state, next_obs, ts.done, carry, ret_accum, key), out
 
         roll_key, key = jax.random.split(key)
-        (env_state, last_obs, last_done, carry, _), tr = jax.lax.scan(
-            scan_step,
-            (state.env_state, state.last_obs, state.last_done, init_carry,
-             roll_key), None, length=cfg.rollout_steps)
+        (env_state, last_obs, last_done, carry, ret_accum, _), tr = \
+            jax.lax.scan(
+                scan_step,
+                (state.env_state, state.last_obs, state.last_done, init_carry,
+                 state.ret_accum, roll_key), None, length=cfg.rollout_steps)
+
+        raw_rewards = tr["reward"]
+        if cfg.normalize_reward:
+            ret_rms = state.ret_rms.update(tr["ret_accum"].reshape(-1, 1))
+            scale = jax.lax.rsqrt(ret_rms.var[0] + 1e-8)
+            tr = dict(tr, reward=jnp.clip(tr["reward"] * scale, -10.0, 10.0))
+        else:
+            ret_rms = state.ret_rms
 
         # bootstrap with the post-rollout carry
         _, (_, _, bootstrap) = model.apply(state.params, carry,
@@ -180,10 +197,11 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         rms = state.rms.update(tr["obs"].reshape(-1, obs_dim)) \
             if cfg.normalize_obs else state.rms
         pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
-        metrics = dict(mean_step_reward=jnp.mean(tr["reward"]),
+        metrics = dict(mean_step_reward=jnp.mean(raw_rewards),
                        pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
         new_state = RPPOTrainState(
-            params=params, opt_state=opt_state, rms=rms, env_state=env_state,
+            params=params, opt_state=opt_state, rms=rms, ret_rms=ret_rms,
+            ret_accum=ret_accum, env_state=env_state,
             last_obs=last_obs, last_done=last_done, carry=carry,
             update_idx=state.update_idx + 1)
         return new_state, metrics
