@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ benchmark_InvManagementBacklogEnv.py:686-773).
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 from or_gym_inventory_tpu.agents.base import BaseAgent
 from or_gym_inventory_tpu.bench import plots

@@ -31,8 +31,7 @@ two implementations together (tests/test_adapters.py).
 
 from __future__ import annotations
 
-import copy
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import gymnasium as gym
 import numpy as np

@@ -18,7 +18,6 @@ Tests emulate an 8-device slice on CPU via
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
