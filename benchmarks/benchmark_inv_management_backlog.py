@@ -38,7 +38,7 @@ LOG_DIR = f"./logs_{ENV_NAME_SHORT}"
 
 env_factory = ad.InvManagementBacklogEnv if BACKLOG else ad.InvManagementLostSalesEnv
 params_factory = partial(im.default_params, backlog=BACKLOG)
-PPO_CFG = PPOConfig(num_envs=2048, rollout_steps=50, num_minibatches=16,
+PPO_CFG = PPOConfig(num_envs=256, rollout_steps=50, num_minibatches=8,
                     update_epochs=4)
 OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
                           start_steps=1_000)

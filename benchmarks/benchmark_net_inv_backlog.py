@@ -41,7 +41,7 @@ def params_factory(env_config=None):
     return net.default_params(env_config=cfg, topology=topology, backlog=True)
 
 
-PPO_CFG = PPOConfig(num_envs=2048, rollout_steps=40, num_minibatches=16,
+PPO_CFG = PPOConfig(num_envs=256, rollout_steps=40, num_minibatches=8,
                     update_epochs=4)
 OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
                           start_steps=1_000)

@@ -41,7 +41,7 @@ LOG_DIR = f"./logs_{ENV_NAME_SHORT}"
 params_factory = partial(nv.default_params)
 # TPU-shaped on-policy batch (validated: learns past the heuristics within a
 # wall-clock budget comparable to SB3's 30k-step runs)
-PPO_CFG = PPOConfig(num_envs=2048, rollout_steps=40, num_minibatches=16,
+PPO_CFG = PPOConfig(num_envs=256, rollout_steps=50, num_minibatches=8,
                     update_epochs=4, ent_coef=0.0)
 OFF_CFG = OffPolicyConfig(num_envs=32, buffer_size=100_000, batch_size=256,
                           start_steps=1_000)
