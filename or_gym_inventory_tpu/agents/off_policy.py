@@ -361,7 +361,8 @@ class OffPolicyAgent(BaseAgent):
                  name: Optional[str] = None,
                  config: Optional[OffPolicyConfig] = None,
                  model_dir: str = "./models", log_dir: str = "./logs",
-                 force_retrain: bool = False, seed: int = 0):
+                 force_retrain: bool = False, seed: int = 0,
+                 eval_every_chunks: int = 0, eval_episodes: int = 64):
         super().__init__(name=name or algo.upper())
         self.env = env
         self.params_factory = params_factory
@@ -369,6 +370,11 @@ class OffPolicyAgent(BaseAgent):
         self.model_dir, self.log_dir = model_dir, log_dir
         self.force_retrain = force_retrain
         self.seed = seed
+        # EvalCallback equivalent (reference SB3AgentWrapper keeps the best
+        # periodic-eval checkpoint; benchmark_InvManagementBacklogEnv.py:
+        # 275-281, 303-311). 0 = disabled.
+        self.eval_every_chunks = eval_every_chunks
+        self.eval_episodes = eval_episodes
         self.env_params = None
         self.state = None
         self._eval_policy = None
@@ -416,9 +422,32 @@ class OffPolicyAgent(BaseAgent):
         print(f"Training {self.name} ({self.config.algo}) for "
               f"{total_timesteps} steps...")
         start = time.time()
+        best = {"reward": -np.inf, "actor": None, "rms": None}
+        progress = None
+        if self.eval_every_chunks > 0:
+            _, _, eval_pol = make_offpolicy(self.env, self.env_params,
+                                            self.config)
+            chunk_counter = {"n": 0}
+
+            def progress(m, st):
+                chunk_counter["n"] += 1
+                if chunk_counter["n"] % self.eval_every_chunks:
+                    return
+                totals, _ = vecenv.evaluate_episodes(
+                    self.env, self.env_params, eval_pol,
+                    (st.actor_params, st.rms),
+                    jax.random.PRNGKey(self.seed + 1), self.eval_episodes)
+                mean = float(np.mean(np.asarray(totals)))
+                if mean > best["reward"]:
+                    best.update(reward=mean, actor=st.actor_params, rms=st.rms)
+
         state, eval_policy, metrics = train(
             self.env, self.env_params, self.config,
-            jax.random.PRNGKey(self.seed), total_timesteps)
+            jax.random.PRNGKey(self.seed), total_timesteps,
+            progress=progress)
+        if best["actor"] is not None:
+            print(f"Loading best model (eval reward {best['reward']:.2f})")
+            state = state.replace(actor_params=best["actor"], rms=best["rms"])
         self.state = state
         self._eval_policy = jax.jit(eval_policy)
         self._eval_ps = None
