@@ -31,22 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 from or_gym_inventory_tpu.envs.net_inv_management import NetInvParams
 
 
-def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
-                 X_ref, Y_ref, U_ref, RH_ref, act_ref, dem_ref, tmask_ref,
-                 disc_ref,
-                 Xo_ref, Yo_ref, Uo_ref, RHo_ref, rew_ref):
-    """One period for a (rows, B_tile) state tile. ``T`` is the static
-    Topology; tmask_ref[l] = 1.0 iff t >= ro_L[l] (arrival valid)."""
-    # --- load rows as (B,) vectors ---
-    X = [X_ref[i, :] for i in range(n_main)]
-    Y = [Y_ref[i, :] for i in range(n_ro)]
-    U = [U_ref[i, :] for i in range(n_rt)]
+def _step_math(T, backlog, X, Y, U, RH, act, dem, arrive_valid):
+    """Pure per-period math over lists of (B,) vectors. ``RH`` is a list of
+    lt*n_ro rows, newest-first; ``arrive_valid[i]`` multiplies the arrival of
+    link i (1.0 iff t >= L_i). Returns (X', Y', U', r_cur, period_profit)."""
+    n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
 
     # --- 0) order fulfillment with sequential supplier contention ---
     consumed = [jnp.zeros_like(X[0]) for _ in range(n_main)]
     r_cur = []
     for i in range(n_ro):
-        req = jnp.maximum(0.0, jnp.round(act_ref[i, :]))
+        req = jnp.maximum(0.0, jnp.round(act[i]))
         sup = T.ro_sup_main[i]
         if sup < 0:
             fulfilled = req
@@ -65,7 +60,7 @@ def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
         if L == 0:
             arriving.append(r_cur[i])
         else:
-            arriving.append(RH_ref[(L - 1) * n_ro + i, :] * tmask_ref[i, :])
+            arriving.append(RH[(L - 1) * n_ro + i] * arrive_valid[i])
     Y_new = [Y[i] - arriving[i] + r_cur[i] for i in range(n_ro)]
     arrivals_node = [jnp.zeros_like(X[0]) for _ in range(n_main)]
     for i in range(n_ro):
@@ -76,7 +71,7 @@ def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
     sales_rt, U_new = [], []
     for j in range(n_rt):
         ret = T.rt_retailer_main[j]
-        d = jnp.maximum(0.0, jnp.round(dem_ref[j, :]))
+        d = jnp.maximum(0.0, jnp.round(dem[j]))
         to_fill = d + U[j]
         inv_r = jnp.maximum(0.0, X_mid[ret])
         s = jnp.minimum(to_fill, inv_r)
@@ -111,9 +106,27 @@ def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
         HC = T.h[n] * jnp.maximum(0.0, X_mid[n]) + HCp[n]
         OC = (T.o[n] * sold[n] / T.v[n]) if T.is_factory[n] else zero
         total = total + (SR[n] - PC[n] - OC - HC - UP[n])
+    return X_mid, Y_new, U_new, r_cur, total
+
+
+def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
+                 X_ref, Y_ref, U_ref, RH_ref, act_ref, dem_ref, tmask_ref,
+                 disc_ref,
+                 Xo_ref, Yo_ref, Uo_ref, RHo_ref, rew_ref):
+    """One period for a (rows, B_tile) state tile. ``T`` is the static
+    Topology; tmask_ref[l] = 1.0 iff t >= ro_L[l] (arrival valid)."""
+    X = [X_ref[i, :] for i in range(n_main)]
+    Y = [Y_ref[i, :] for i in range(n_ro)]
+    U = [U_ref[i, :] for i in range(n_rt)]
+    RH = [RH_ref[r, :] for r in range(lt * n_ro)]
+    act = [act_ref[i, :] for i in range(n_ro)]
+    dem = [dem_ref[j, :] for j in range(n_rt)]
+    valid = [tmask_ref[i, :] for i in range(n_ro)]
+
+    X_mid, Y_new, U_new, r_cur, total = _step_math(
+        T, backlog, X, Y, U, RH, act, dem, valid)
     rew_ref[0, :] = disc_ref[0, :] * total
 
-    # --- write state ---
     for n in range(n_main):
         Xo_ref[n, :] = X_mid[n]
     for i in range(n_ro):
@@ -125,7 +138,32 @@ def _kernel_body(T, backlog, n_main, n_ro, n_rt, lt,
         RHo_ref[i, :] = r_cur[i]
     for row in range(lt - 1):
         for i in range(n_ro):
-            RHo_ref[(row + 1) * n_ro + i, :] = RH_ref[row * n_ro + i, :]
+            RHo_ref[(row + 1) * n_ro + i, :] = RH[row * n_ro + i]
+
+
+def _episode_kernel_body(T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha,
+                         X_ref, Y_ref, U_ref, RH_ref, acts_ref, dems_ref,
+                         rew_ref):
+    """Whole fixed-horizon episode in one kernel: the state lives in
+    registers/VMEM across all ``num_steps`` periods (statically unrolled —
+    the horizon is static in every reference env). ``acts_ref`` is
+    (num_steps*n_ro, Bt), ``dems_ref`` (num_steps*n_rt, Bt); output is the
+    discounted episode return per lane (1, Bt)."""
+    X = [X_ref[i, :] for i in range(n_main)]
+    Y = [Y_ref[i, :] for i in range(n_ro)]
+    U = [U_ref[i, :] for i in range(n_rt)]
+    RH = [RH_ref[r, :] for r in range(lt * n_ro)]
+    total = jnp.zeros_like(X[0])
+    one = jnp.ones_like(X[0])
+    for t in range(num_steps):
+        act = [acts_ref[t * n_ro + i, :] for i in range(n_ro)]
+        dem = [dems_ref[t * n_rt + j, :] for j in range(n_rt)]
+        valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
+        X, Y, U, r_cur, profit = _step_math(
+            T, backlog, X, Y, U, RH, act, dem, valid)
+        RH = r_cur + RH[: (lt - 1) * n_ro]
+        total = total + (alpha ** t) * profit
+    rew_ref[0, :] = total
 
 
 def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,
@@ -172,6 +210,43 @@ def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,
         out_shape=out_shape,
         interpret=interpret,
     )(X, Y, U, RH, action, demand, tmask, disc)
+
+
+def episode_returns(params: NetInvParams, actions, demands,
+                    block: int = 512, interpret: bool = False):
+    """Discounted episode returns for a lockstep batch, one kernel launch.
+
+    ``actions`` (num_steps, n_reorder, B), ``demands`` (num_steps, n_retail,
+    B) are pre-sampled streams (two XLA sampling ops); the episode itself —
+    state recurrence and all — runs inside a single statically-unrolled
+    Pallas kernel with zero intermediate HBM state traffic. Returns (B,).
+    """
+    T = params.topology
+    n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
+    lt = max(T.lt_max, 1)
+    num_steps, _, B = actions.shape
+    assert B % block == 0, (B, block)
+
+    X, Y, U, RH = init_transposed(params, B)
+    acts = actions.reshape(num_steps * n_ro, B)
+    dems = demands.reshape(num_steps * n_rt, B)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(_episode_kernel_body, T, params.backlog, n_main, n_ro,
+                     n_rt, lt, num_steps, params.alpha)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro),
+                  spec(num_steps * n_ro), spec(num_steps * n_rt)],
+        out_specs=spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        interpret=interpret,
+    )(X, Y, U, RH, acts, dems)
+    return out[0]
 
 
 def init_transposed(params: NetInvParams, batch: int):
