@@ -86,10 +86,57 @@ def main():
                     {"path": "pallas_episode", "batch": batch, "block": block,
                      "steps_per_s": round(batch * NUM_STEPS / best)}),
                     flush=True)
+                if block == 1024:
+                    def ep_returns(key, n=batch, b=block):
+                        akey, dkey = jax.random.split(key)
+                        acts = jax.random.uniform(
+                            akey, (NUM_STEPS, T.n_reorder, n),
+                            minval=0.0, maxval=hi)
+                        dems = jax.random.poisson(
+                            dkey, lam[None, :, None],
+                            (NUM_STEPS, T.n_retail, n)).astype(jnp.float32)
+                        return pk.episode_returns(params, acts, dems, block=b)
+                    import numpy as np
+                    r = np.asarray(jax.jit(ep_returns)(jax.random.PRNGKey(7)))
+                    print(json.dumps(
+                        {"path": "pallas_episode", "batch": batch,
+                         "check_mean": float(r.mean()),
+                         "check_std": float(r.std())}), flush=True)
             except Exception as e:
                 print(json.dumps({"path": "pallas_episode", "batch": batch,
                                   "block": block, "error": str(e)[:200]}),
                       flush=True)
+
+        # --- 4. Whole-episode kernel with IN-KERNEL action sampling ---
+        for block in (1024,):
+            def epk(key, n=batch, b=block):
+                dkey, skey = jax.random.split(key)
+                dems = jax.random.poisson(
+                    dkey, lam[None, :, None],
+                    (NUM_STEPS, T.n_retail, n)).astype(jnp.float32)
+                seed = jax.random.randint(skey, (), 0, 2**31 - 1)
+                return pk.episode_returns_random_policy(
+                    params, dems, seed, hi, block=b)
+
+            try:
+                f = jax.jit(lambda key: epk(key).sum())
+                best = time_fn(f)
+                print(json.dumps(
+                    {"path": "pallas_episode_inkernel_rng", "batch": batch,
+                     "block": block,
+                     "steps_per_s": round(batch * NUM_STEPS / best)}),
+                    flush=True)
+                # distribution consistency vs XLA-sampled actions
+                r = jax.jit(epk)(jax.random.PRNGKey(7))
+                import numpy as np
+                print(json.dumps(
+                    {"path": "pallas_episode_inkernel_rng", "batch": batch,
+                     "check_mean": float(np.mean(np.asarray(r))),
+                     "check_std": float(np.std(np.asarray(r)))}), flush=True)
+            except Exception as e:
+                print(json.dumps({"path": "pallas_episode_inkernel_rng",
+                                  "batch": batch, "block": block,
+                                  "error": str(e)[:300]}), flush=True)
 
 
 if __name__ == "__main__":

