@@ -27,10 +27,22 @@ from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
 from or_gym_inventory_tpu.envs import registry
 
 
+# SB3/RLlib kwarg names accepted for migration convenience (the reference's
+# agent rosters configure SB3/RLlib by these names, e.g.
+# benchmark_InvManagementBacklogEnv.py:697-717, *_sb3_rllib.py config blocks)
+_ALIASES = {
+    "n_steps": "rollout_steps",
+    "learning_rate": "lr",
+    "train_batch_size": "batch_size",
+    "learning_starts": "start_steps",
+}
+
+
 def _apply_updates(cfg, updates: Dict):
     fields = {f.name for f in dataclasses.fields(cfg)}
-    known = {k: v for k, v in updates.items() if k in fields}
-    unknown = set(updates) - set(known)
+    renamed = {_ALIASES.get(k, k): v for k, v in updates.items()}
+    known = {k: v for k, v in renamed.items() if k in fields}
+    unknown = set(renamed) - set(known)
     if unknown:
         raise KeyError(f"Unknown config keys for {type(cfg).__name__}: "
                        f"{sorted(unknown)}")

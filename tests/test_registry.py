@@ -46,3 +46,14 @@ def test_make_agent_by_name(tmp_path):
 def test_make_agent_unknown_key():
     with pytest.raises(KeyError):
         make_agent("SAC", "Newsvendor-v0", config_updates={"bogus": 1})
+
+
+def test_make_agent_sb3_style_aliases():
+    """SB3/RLlib kwarg spellings map onto the dataclass fields."""
+    from or_gym_inventory_tpu.agents.algo_registry import make_agent
+    a = make_agent("PPO", "Newsvendor-v0",
+                   {"n_steps": 64, "learning_rate": 1e-4})
+    assert a.config.rollout_steps == 64 and a.config.lr == 1e-4
+    b = make_agent("SAC", "Newsvendor-v0",
+                   {"train_batch_size": 128, "learning_starts": 500})
+    assert b.config.batch_size == 128 and b.config.start_steps == 500
