@@ -36,10 +36,14 @@ from or_gym_inventory_tpu.envs.newsvendor import NewsvendorParams
 def _uniform01(shape):
     """In-kernel uniform [0, 1) from the hardware PRNG (24-bit mantissa).
     Mosaic has no uint32->f32 cast; the shifted value is positive, so the
-    int32 bitcast is exact."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    int32 bitcast is exact. Mosaic's bitcast also rejects 1D operands, so
+    1D requests are padded to (1, n) and squeezed."""
+    squeeze = len(shape) == 1
+    shape2 = (1,) + tuple(shape) if squeeze else shape
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape2), jnp.uint32)
     u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
-    return pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    u = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u[0] if squeeze else u
 
 
 # ============================================================== Newsvendor
