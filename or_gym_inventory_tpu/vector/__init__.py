@@ -1,2 +1,3 @@
 from or_gym_inventory_tpu.vector.vecenv import (  # noqa: F401
     batch_reset, batch_step, auto_reset, rollout, evaluate_episodes, Trajectory)
+from or_gym_inventory_tpu.vector.fast_episodes import random_episode_returns  # noqa: F401,E501

@@ -1,0 +1,110 @@
+"""Fastest rollout path: whole-episode returns for a lockstep batch.
+
+One public function dispatches each env family to its whole-episode Pallas
+kernel (state VMEM-resident across the full static horizon, uniform-random
+actions sampled in-kernel by the TPU hardware PRNG; measured 3-5x the XLA
+vmap+scan rollout — PERFORMANCE.md) and falls back to the XLA rollout on
+backends without Pallas TPU support, so callers get one API everywhere.
+
+This is the random-policy evaluation workload (the reference's RandomAgent
+benchmark protocol and bench.py's headline). Policy-driven rollouts still go
+through vector.rollout — a learned policy needs the obs stream, which the
+returns-only kernels deliberately never materialize.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from or_gym_inventory_tpu.envs import inv_management as im
+from or_gym_inventory_tpu.envs import net_inv_management as net
+from or_gym_inventory_tpu.envs import newsvendor as nv
+from or_gym_inventory_tpu.vector import vecenv
+
+
+def _xla_fallback(env, params, key, batch, num_steps, discount):
+    space = env.action_space(params)
+
+    def policy(_s, obs, k, _t):
+        return space.sample(k, (obs.shape[0],))
+
+    _, traj = vecenv.rollout(env, params, policy, None, key, batch, num_steps)
+    if discount == 1.0:
+        return jnp.sum(traj.reward, axis=0)
+    w = discount ** jnp.arange(num_steps, dtype=jnp.float32)
+    return jnp.sum(w[:, None] * traj.reward, axis=0)
+
+
+def random_episode_returns(params, key: jax.Array, batch: int,
+                           block: int = 1024, use_pallas: bool = True):
+    """Per-episode (discounted) returns under the uniform-random policy.
+
+    ``params`` selects the family (NewsvendorParams / InvManagementParams /
+    NetInvParams). Returns a (batch,) float32 array of episode returns.
+    ``use_pallas=False`` forces the XLA rollout (also used automatically
+    when the kernel path fails to lower, e.g. on CPU).
+    """
+    if isinstance(params, nv.NewsvendorParams):
+        def pallas_path():
+            from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
+                episode_returns_nv_random)
+            k1, k2, k3 = jax.random.split(key, 3)
+            econ = jax.vmap(lambda k: nv.draw_econ(params, k), out_axes=1)(
+                jax.random.split(k1, batch))
+            dems = jax.random.poisson(
+                k2, econ[4], (params.step_limit, batch)).astype(jnp.float32)
+            seed = jax.random.randint(k3, (), 0, 2**31 - 1)
+            return episode_returns_nv_random(params, econ, dems, seed,
+                                             block=block)
+
+        xla = lambda: _xla_fallback(nv.ENV, params, key, batch,
+                                    params.step_limit, params.gamma)
+    elif isinstance(params, im.InvManagementParams):
+        def pallas_path():
+            from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
+                episode_returns_im_random)
+            sampler_mu = dict(params.dist_param).get("mu", 20)
+            if params.dist != 1:
+                raise NotImplementedError(
+                    "kernel path pre-samples Poisson demand only")
+            k1, k2 = jax.random.split(key)
+            dems = jax.random.poisson(
+                k1, float(sampler_mu), (params.periods, batch)
+            ).astype(jnp.int32)
+            seed = jax.random.randint(k2, (), 0, 2**31 - 1)
+            return episode_returns_im_random(params, dems, seed, block=block)
+
+        # step rewards are already alpha^t-discounted (reference semantics)
+        xla = lambda: _xla_fallback(im.ENV, params, key, batch,
+                                    params.periods, 1.0)
+    elif isinstance(params, net.NetInvParams):
+        def pallas_path():
+            from or_gym_inventory_tpu.ops.pallas_net_step import (
+                episode_returns_random_policy)
+            T = params.topology
+            lam = jnp.asarray([s[1] if s[0] == "poisson" else 0.0
+                               for s in T.rt_demand], jnp.float32)
+            if any(s[0] != "poisson" for s in T.rt_demand):
+                raise NotImplementedError(
+                    "kernel path pre-samples Poisson demand only")
+            k1, k2 = jax.random.split(key)
+            dems = jax.random.poisson(
+                k1, lam[None, :, None],
+                (params.num_periods, T.n_retail, batch)).astype(jnp.float32)
+            seed = jax.random.randint(k2, (), 0, 2**31 - 1)
+            hi = float(T.order_cap_heuristic * 2)
+            return episode_returns_random_policy(params, dems, seed, hi,
+                                                 block=block)
+
+        xla = lambda: _xla_fallback(net.ENV, params, key, batch,
+                                    params.num_periods, 1.0)
+    else:
+        raise TypeError(f"Unknown params type {type(params).__name__}")
+
+    if use_pallas:
+        try:
+            return pallas_path()
+        except Exception:
+            pass
+    return xla()

