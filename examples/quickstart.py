@@ -51,6 +51,15 @@ totals, _ = evaluate_episodes(im.ENV, im_params,
 print(f"[heuristics] BaseStock over 256 on-device episodes: "
       f"mean {float(jnp.mean(totals)):.1f}")
 
+# ------------------------------------------- 3b. fastest path: episode kernels
+from or_gym_inventory_tpu.vector import random_episode_returns
+
+# Whole-episode Pallas kernel on TPU (state VMEM-resident across the
+# horizon, in-kernel hardware-PRNG actions); XLA fallback elsewhere.
+returns = random_episode_returns(im_params, jax.random.PRNGKey(4), batch=4096)
+print(f"[fast-episodes] 4096 random-policy episodes, one launch: "
+      f"mean {float(jnp.mean(returns)):.1f}")
+
 # ------------------------------------------------------------- 4. on-device RL
 from or_gym_inventory_tpu.agents import ppo
 
