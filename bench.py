@@ -13,14 +13,21 @@ Fast path: the whole-episode Pallas kernel (state VMEM-resident across all
 30 periods, actions sampled in-kernel by the TPU hardware PRNG; semantics
 pinned bit-exact vs the XLA step chain by tests/test_pallas_*.py, measured
 head-to-head in benchmarks/pallas_episode.py). Falls back to the XLA
-vmap+scan rollout when the kernel path is unavailable (e.g. CPU backend).
+vmap+scan rollout when the kernel path is unavailable — and SAYS SO on
+stderr with the reason (a silent fallback would let a Mosaic lowering
+regression change the headline by ~1.4x invisibly). Before timing, the
+kernel path is cross-checked against the XLA step chain on the same
+action/demand streams at a small batch; disagreement also falls back loudly.
 """
 
 import json
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from or_gym_inventory_tpu.envs import net_inv_management as net
 from or_gym_inventory_tpu.vector import vecenv
@@ -30,6 +37,7 @@ REFERENCE_STEPS_PER_S = 78.0  # BASELINE.md: NetInvMgmtBacklogEnv, 2-vCPU host
 NUM_ENVS_PALLAS = 1_048_576
 NUM_ENVS_XLA = 262_144
 NUM_STEPS = 30
+CROSSCHECK_ENVS = 4096
 
 
 def _time(run, n=5):
@@ -46,12 +54,66 @@ def _time(run, n=5):
     return min(times)
 
 
+def _poisson_lam(params):
+    """Per-retail-link Poisson rates; refuses non-Poisson specs (mirrors
+    fast_episodes — benchmarking zero demand for an unrecognized spec would
+    silently misreport)."""
+    T = params.topology
+    if any(s[0] != "poisson" for s in T.rt_demand):
+        raise NotImplementedError(
+            f"kernel path pre-samples Poisson demand only; topology has "
+            f"{[s[0] for s in T.rt_demand]}")
+    return jnp.asarray([s[1] for s in T.rt_demand], jnp.float32)
+
+
+def _crosscheck_kernel(params):
+    """Kernel vs XLA step chain on identical action/demand streams at the
+    bench operating point (small batch). Raises on disagreement."""
+    from or_gym_inventory_tpu.ops import pallas_net_step as pk
+    T = params.topology
+    lam = _poisson_lam(params)
+    hi = float(T.order_cap_heuristic * 2)
+    ka, kd = jax.random.split(jax.random.PRNGKey(2024))
+    actions = jax.random.uniform(
+        ka, (NUM_STEPS, T.n_reorder, CROSSCHECK_ENVS), maxval=hi)
+    demands = jax.random.poisson(
+        kd, lam[None, :, None],
+        (NUM_STEPS, T.n_retail, CROSSCHECK_ENVS)).astype(jnp.float32)
+
+    kernel_ret = jax.jit(pk.episode_returns, static_argnames="block")(
+        params, actions, demands, block=512)
+
+    @jax.jit
+    def xla_ret(actions, demands):
+        def one_env(acts, dems):
+            state, _ = net.reset(params)
+
+            def body(state, ad):
+                a, d = ad
+                state, ts = net.step_with_demand(params, state, a, d)
+                return state, ts.reward
+
+            _, rew = jax.lax.scan(body, state, (acts, dems))
+            return jnp.sum(rew)
+
+        return jax.vmap(one_env, in_axes=(2, 2))(actions, demands)
+
+    k = np.asarray(kernel_ret)
+    x = np.asarray(xla_ret(actions, demands))
+    if not np.allclose(k, x, rtol=1e-4, atol=1e-2):
+        worst = float(np.abs(k - x).max())
+        raise RuntimeError(
+            f"Pallas episode kernel disagrees with the XLA step chain at the "
+            f"bench operating point (max |diff| = {worst:.4g} over "
+            f"{CROSSCHECK_ENVS} envs)")
+
+
 def _pallas_path(params):
     from or_gym_inventory_tpu.ops import pallas_net_step as pk
     T = params.topology
-    hi = float(T.order_cap_heuristic * 2)  # action_space high
-    lam = jnp.asarray([s[1] if s[0] == "poisson" else 0.0
-                       for s in T.rt_demand], jnp.float32)
+    hi = float(T.order_cap_heuristic * 2)
+    lam = _poisson_lam(params)
+    _crosscheck_kernel(params)
 
     @jax.jit
     def run(key):
@@ -83,11 +145,25 @@ def _xla_path(params):
 
 def main():
     params = net.default_params(num_periods=NUM_STEPS)
-    try:
-        best, num_envs = _pallas_path(params)
-    except Exception:
+    path = "pallas"
+    if jax.default_backend() != "tpu":
+        print(f"bench.py: backend is {jax.default_backend()!r}, not TPU — "
+              "using the XLA rollout path", file=sys.stderr)
         best, num_envs = _xla_path(params)
+        path = "xla"
+    else:
+        try:
+            best, num_envs = _pallas_path(params)
+        except Exception as e:  # fall back, but never silently
+            print("bench.py: Pallas kernel path FAILED — falling back to the "
+                  f"XLA rollout. Reason: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            best, num_envs = _xla_path(params)
+            path = "xla"
     steps_per_s = num_envs * NUM_STEPS / best
+    print(f"bench.py: path={path} envs={num_envs} best_iter={best:.4f}s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "net_inv_mgmt_vectorized_env_steps_per_s",
         "value": round(steps_per_s),

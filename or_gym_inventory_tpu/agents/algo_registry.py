@@ -40,9 +40,19 @@ _ALIASES = {
 
 def _apply_updates(cfg, updates: Dict):
     fields = {f.name for f in dataclasses.fields(cfg)}
-    renamed = {_ALIASES.get(k, k): v for k, v in updates.items()}
-    known = {k: v for k, v in renamed.items() if k in fields}
-    unknown = set(renamed) - set(known)
+    known, unknown = {}, []
+    for k, v in updates.items():
+        canon = _ALIASES.get(k, k)
+        if canon not in fields:
+            unknown.append(k)  # report the user's spelling, not the alias
+            continue
+        if canon in known:
+            other = next(kk for kk in updates
+                         if kk != k and _ALIASES.get(kk, kk) == canon)
+            raise ValueError(
+                f"config_updates sets {canon!r} twice: {k!r} and {other!r} "
+                "(alias and canonical name) — pass only one")
+        known[canon] = v
     if unknown:
         raise KeyError(f"Unknown config keys for {type(cfg).__name__}: "
                        f"{sorted(unknown)}")

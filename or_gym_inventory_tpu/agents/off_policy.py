@@ -269,8 +269,20 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
                 state.window, new)
         reward_n, next_obs_n, done_n, disc_n = nstep_aggregate(
             window["reward"], window["done"], window["next_obs"], cfg.gamma)
-        buffer = state.buffer.insert(window["obs"][0], window["action"][0],
-                                     reward_n, next_obs_n, done_n, disc_n)
+        if cfg.n_step == 1:
+            buffer = state.buffer.insert(window["obs"][0], window["action"][0],
+                                         reward_n, next_obs_n, done_n, disc_n)
+        else:
+            # the window starts zero-initialized: its oldest slot only holds a
+            # real transition once n_step-1 pushes have happened — inserting
+            # before that would plant fabricated (obs=0, action=0) transitions
+            # that persist in the buffer for the whole run
+            window_full = state.step_idx >= cfg.n_step - 1
+            buffer = jax.lax.cond(
+                window_full,
+                lambda b: b.insert(window["obs"][0], window["action"][0],
+                                   reward_n, next_obs_n, done_n, disc_n),
+                lambda b: b, state.buffer)
         rms = state.rms.update(state.last_obs) if cfg.normalize_obs else state.rms
 
         # --------------------------- gradient step ------------------------

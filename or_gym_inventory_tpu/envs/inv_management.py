@@ -124,8 +124,39 @@ class InvManagementParams:
         if self.dist == 5:
             assert len(self.user_D) == self.periods, \
                 "User specified demand length != num periods"
+        self._validate_dist_param()
         assert 0 < self.alpha <= 1, "alpha must be in the range (0, 1]"
         return self
+
+    def _validate_dist_param(self):
+        """Per-dist required keys + value ranges, so a wrong dict raises a
+        clear constructor error instead of a KeyError deep inside a jitted
+        sampler (reference validates at inventory_management.py:144-167 but
+        skips dist_param contents — 'Scipy validation is complex')."""
+        dp = self.dist_param_dict
+        required = {1: ("mu",), 2: ("n", "p"), 3: ("low", "high"),
+                    4: ("p",), 5: ()}[self.dist]
+        missing = [k for k in required if k not in dp]
+        assert not missing, (
+            f"dist={self.dist} requires dist_param keys {list(required)}; "
+            f"missing {missing} (got {sorted(dp)})")
+        if self.dist != 5:
+            extra = sorted(set(dp) - set(required))
+            assert not extra, (
+                f"dist={self.dist} takes dist_param keys {list(required)}; "
+                f"unexpected {extra}")
+        if self.dist == 1:
+            assert dp["mu"] >= 0, f"Poisson mu must be >= 0, got {dp['mu']}"
+        elif self.dist == 2:
+            assert dp["n"] >= 0 and float(dp["n"]).is_integer(), \
+                f"Binomial n must be a non-negative integer, got {dp['n']}"
+            assert 0 <= dp["p"] <= 1, f"Binomial p must be in [0, 1], got {dp['p']}"
+        elif self.dist == 3:
+            assert dp["low"] <= dp["high"], (
+                f"Uniform-integer requires low <= high, got "
+                f"low={dp['low']}, high={dp['high']}")
+        elif self.dist == 4:
+            assert 0 < dp["p"] <= 1, f"Geometric p must be in (0, 1], got {dp['p']}"
 
 
 _ALIASES = {}

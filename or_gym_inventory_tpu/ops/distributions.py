@@ -45,6 +45,23 @@ def sample_geometric(key: jax.Array, p, shape=()) -> jax.Array:
     return jax.random.geometric(key, p, shape=shape, dtype=jnp.int32)
 
 
+def sample_negbinomial(key: jax.Array, n, p, shape=()) -> jax.Array:
+    """Negative binomial matching numpy ``Generator.negative_binomial(n, p)``
+    (number of failures before the n-th success, success prob p), via the
+    exact Gamma(n, (1-p)/p) - Poisson mixture — fixed-iteration, vmap-safe."""
+    kg, kp = jax.random.split(key)
+    lam = jax.random.gamma(kg, n, shape=shape) * ((1.0 - p) / p)
+    return jax.random.poisson(kp, lam, dtype=jnp.int32)
+
+
+def sample_normal_rounded(key: jax.Array, loc, scale, shape=()) -> jax.Array:
+    """Normal(loc, scale) demand rounded half-even and clamped to >= 0 —
+    the reference wraps every sampled demand in ``max(0, int(round(.)))``
+    (network_management.py:263, 540), which this reproduces."""
+    x = loc + scale * jax.random.normal(key, shape)
+    return jnp.maximum(0.0, jnp.round(x)).astype(jnp.int32)
+
+
 def make_demand_sampler(dist: int, dist_param: Dict, user_D=None):
     """Build ``sample(key, t) -> int32 demand`` for one of the 5 modes.
 
@@ -81,17 +98,77 @@ def poisson_cdf(k: jax.Array, mu) -> jax.Array:
     return jnp.where(kf < 0, 0.0, jax.scipy.special.gammaincc(kf + 1.0, mu))
 
 
+def _phi(u):
+    """phi(u) = u - log1p(u) without cancellation: power series for small u
+    (phi = u^2/2 - u^3/3 + ... = u^2 * sum_{j>=0} (-u)^j / (j+2)), direct
+    form otherwise. Relative accuracy ~f32 eps on both branches."""
+    small = jnp.abs(u) < 0.3
+    us = jnp.where(small, u, 0.0)
+    # Horner over j = 13..0 of sum (-u)^j/(j+2); |u|<0.3 -> truncation <1e-9
+    s = jnp.zeros_like(us)
+    for j in range(13, -1, -1):
+        s = 1.0 / (j + 2.0) - us * s
+    series = us * us * s
+    direct = u - jnp.log1p(jnp.where(small, 0.0, u))
+    return jnp.where(small, series, direct)
+
+
+_HALF_LN_2PI = 0.9189385332046727
+
+
+def _poisson_sf_exceeds(k, mu, q, n_terms: int = 768):
+    """Accurate sign of CDF(k; mu) - q for integer k >= 0 (f32 throughout).
+
+    Uses the lower-regularized-gamma series P(a, x) with a = k+1, x = mu:
+    CDF(k; mu) = Q(a, x) = 1 - P(a, x), so CDF >= q iff P <= 1-q. The log
+    prefactor a*ln(x) - x - lgamma(a+1) is evaluated via a cancellation-free
+    Stirling form (f32 lgamma alone has absolute error ~|lgamma|*eps, which
+    at a~1200 already exceeds real CDF-vs-q gaps); the series is summed with
+    Kahan compensation. Accuracy ~2e-6 absolute in CDF — an order below the
+    f32 gammaincc error that produced +-1-count ppf misses at mu ~ 1200.
+
+    Valid while the series converges within ``n_terms`` (needs ~6*sqrt(mu)
+    terms): mu <= ~(n_terms/6)^2. Callers gate on that.
+    """
+    a = k + 1.0
+    z = a + 1.0                       # lgamma(a+1) = lgamma(z)
+    u = (mu - z) / z
+    # t = a*ln(mu) - mu - lgamma(z) via Stirling (z >= 2 here):
+    #   = -z*phi(u) - 0.5*log1p(u) - 0.5*ln(mu) - 0.5*ln(2pi) - 1/(12z) + 1/(360z^3)
+    t = (-z * _phi(u) - 0.5 * jnp.log1p(u) - 0.5 * jnp.log(jnp.maximum(mu, 1e-30))
+         - _HALF_LN_2PI - 1.0 / (12.0 * z) + 1.0 / (360.0 * z ** 3))
+
+    def body(n, carry):
+        s, comp, c = carry
+        c = c * mu / (a + n)          # term_n = mu^n / prod_{i=1..n}(a+i)
+        y = c - comp
+        tt = s + y
+        comp = (tt - s) - y
+        return tt, comp, c
+
+    s0 = jnp.ones_like(a)
+    s, _, _ = jax.lax.fori_loop(1, n_terms,body, (s0, jnp.zeros_like(a), s0))
+    p_lower = jnp.exp(t) * s          # P(a, mu)
+    ok = p_lower <= (1.0 - q)         # CDF(k) >= q
+    return jnp.where(k < 0, q <= 0.0, ok)
+
+
 def poisson_ppf(q, mu, max_k: int = 1 << 22) -> jax.Array:
     """Smallest integer k with CDF(k; mu) >= q (scipy.poisson.ppf semantics).
 
-    Fixed 23-iteration integer bisection — branch-free, vmap-safe, no
-    data-dependent loops (TPU requirement). Exact vs scipy for mu <~ 500;
-    for larger mu the float32 gammaincc CDF limits accuracy to +-1 count
-    (relative CDF error ~1e-4), which is inconsequential for the heuristic
-    order-up-to policies that consume it.
+    Two stages, both branch-free/vmap-safe with fixed iteration counts (TPU
+    requirement): (1) 23-iteration integer bisection on the f32 gammaincc
+    CDF; (2) a +-2-count local refinement using the high-accuracy series CDF
+    (``_poisson_sf_exceeds``) — f32 gammaincc's lgamma-limited error gives
+    +-1-count misses from mu ~ 1200 (squarely the heuristic agents' operating
+    range: mu*(L+1)*SF up to ~1440), which the refinement corrects. Verified
+    exact vs scipy at mu in {20..4000} x a 12-point q grid
+    (tests/test_distributions.py). Refinement is gated to mu <= 16000 (series
+    budget); beyond that the bisection value is returned unrefined.
     """
     q = jnp.asarray(q, dtype=jnp.float32)
     mu = jnp.asarray(mu, dtype=jnp.float32)
+    q, mu = jnp.broadcast_arrays(q, mu)
 
     def body(_, bounds):
         lo, hi = bounds
@@ -103,7 +180,14 @@ def poisson_ppf(q, mu, max_k: int = 1 << 22) -> jax.Array:
     hi = jnp.full_like(mu, float(max_k))
     n_iter = max_k.bit_length()
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    out = hi
+    k0 = hi
+
+    # local refinement: smallest candidate in [k0-2, k0+2] with CDF >= q
+    oks = jnp.stack([_poisson_sf_exceeds(k0 + d, mu, q) for d in range(-2, 3)])
+    any_ok = jnp.any(oks, axis=0)
+    refined = k0 - 2.0 + jnp.argmax(oks, axis=0).astype(k0.dtype)
+    refined = jnp.maximum(0.0, jnp.where(any_ok, refined, k0 + 2.0))
+    out = jnp.where(mu <= 16000.0, refined, k0)
     # Edge cases per scipy: q<=0 -> -1 is scipy's 0 boundary (scipy returns 0
     # for q=0 with mu>0? scipy gives -1 for q=0; heuristic agents clip q to
     # [0.001, 0.999] so we simply clamp to >= 0 here), q>=1 -> inf (clamped).

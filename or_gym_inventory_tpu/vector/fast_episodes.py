@@ -14,6 +14,8 @@ returns-only kernels deliberately never materialize.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 
@@ -102,9 +104,13 @@ def random_episode_returns(params, key: jax.Array, batch: int,
     else:
         raise TypeError(f"Unknown params type {type(params).__name__}")
 
-    if use_pallas:
+    if use_pallas and jax.default_backend() == "tpu":
         try:
             return pallas_path()
-        except Exception:
-            pass
+        except NotImplementedError as e:
+            # expected unavailability (e.g. non-Poisson demand spec): fall
+            # back, but say so — any other exception is a genuine kernel bug
+            # and must propagate rather than silently change the numbers
+            warnings.warn(f"Pallas episode-kernel path unavailable ({e}); "
+                          "falling back to the XLA rollout", RuntimeWarning)
     return xla()

@@ -102,3 +102,26 @@ def test_against_live_reference(reference_modules, seed, backlog):
         np.testing.assert_array_equal(np.asarray(ts.obs), ref_obs[t + 1],
                                       err_msg=f"obs mismatch at t={t}")
         assert abs(float(ts.reward) - ref_rewards[t]) < 1e-2, t
+
+
+def test_dist_param_validated_at_construction():
+    """Wrong dist_param contents raise clear constructor errors, not a
+    KeyError deep inside a jitted sampler (VERDICT round-1 weak #6;
+    reference validates at inventory_management.py:144-167 but skips
+    dist_param contents)."""
+    import pytest
+    # dist=2 (binomial) with the poisson default {'mu': 20}: missing n/p
+    with pytest.raises(AssertionError, match=r"dist=2 requires .*'n', 'p'"):
+        im.default_params(dist=2)
+    with pytest.raises(AssertionError, match="Binomial p must be in"):
+        im.default_params(dist=2, dist_param={"n": 10, "p": 1.5})
+    with pytest.raises(AssertionError, match="low <= high"):
+        im.default_params(dist=3, dist_param={"low": 9, "high": 3})
+    with pytest.raises(AssertionError, match="Geometric p"):
+        im.default_params(dist=4, dist_param={"p": 0.0})
+    with pytest.raises(AssertionError, match="unexpected"):
+        im.default_params(dist=1, dist_param={"mu": 20, "typo": 1})
+    # valid configs still construct
+    im.default_params(dist=2, dist_param={"n": 40, "p": 0.4})
+    im.default_params(dist=3, dist_param={"low": 5, "high": 15})
+    im.default_params(dist=4, dist_param={"p": 0.3})

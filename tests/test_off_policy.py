@@ -75,9 +75,29 @@ def test_nstep_aggregate_hand_case():
     assert not bool(done[1]) and jnp.allclose(disc[1], g ** 3)
 
 
+def test_nstep_no_fabricated_transitions():
+    """With n_step=3 the first n_step-1 update iterations must not insert:
+    the rolling window still holds zero-initialized slots, and inserting
+    them would plant fabricated (obs=0, action=0) transitions that persist
+    in the buffer for the whole run (ADVICE round-1 medium finding)."""
+    cfg = TINY.replace(algo="sac", n_step=3, start_steps=0)
+    params = nv.default_params(step_limit=8)
+    init, update, _ = op.make_offpolicy(nv.ENV, params, cfg)
+    state = jax.jit(init)(jax.random.PRNGKey(0))
+    upd = jax.jit(update)
+    for i in range(4):
+        assert int(state.buffer.filled) == max(0, i - 2) * cfg.num_envs, (
+            f"iteration {i}: fabricated transitions inserted before the "
+            "n-step window was full")
+        state, _ = upd(state, jax.random.PRNGKey(i + 1))
+    # the first inserted obs is the step-0 observation, whose economics
+    # slots (price/cost/h/k/mu) are nonzero — not a zero-padded fabrication
+    assert np.any(np.asarray(state.buffer.obs[:cfg.num_envs]) != 0)
+
+
 def test_nstep_train_smoke():
-    """SAC with n_step=3 trains end-to-end; 1-step and 3-step configs both
-    produce finite metrics and distinct critics (the targets differ)."""
+    """SAC with n_step=3 trains end-to-end to finite metrics and a finite
+    evaluated policy."""
     cfg = op.OffPolicyConfig(algo="sac", num_envs=8, buffer_size=2048,
                              batch_size=32, start_steps=64, n_step=3,
                              pi_arch=(16,), q_arch=(16,))
