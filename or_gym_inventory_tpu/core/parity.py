@@ -86,19 +86,38 @@ def net_inv_demand_stream(rng: np.random.Generator,
 
     ``retail_dist_params`` is one dict per retail link in declaration order.
     Each dict is either ``{'user_D': array}`` (used verbatim, the reference's
-    user_D-without-sample_path mode, network_management.py:250-255) or poisson
-    params ``{'lam': float}`` (the default ``demand_dist_func``,
-    network_management.py:123-127). Returns shape (n_steps, n_links) int64.
+    user_D-without-sample_path mode, network_management.py:250-255), a named
+    spec ``{'dist': name, **numpy-kwargs}`` (``Topology.retail_dist_params``
+    emits these for poisson/binomial/negbinomial/randint/geometric/normal),
+    bare poisson params ``{'lam': float}`` (the default ``demand_dist_func``,
+    network_management.py:123-127), or ``{'dist': 'hostfn', 'func': f, ...}``
+    (the callable is invoked with the remaining kwargs). Returns shape
+    (n_steps, n_links) int64.
     """
     n_links = len(retail_dist_params)
     out = np.zeros((n_steps, n_links), dtype=np.int64)
     for t in range(n_steps):
         for j, spec in enumerate(retail_dist_params):
+            name = spec.get("dist")
             if "user_D" in spec:
                 arr = spec["user_D"]
                 d = arr[min(t, len(arr) - 1)]
-            elif "lam" in spec:
+            elif name == "poisson" or (name is None and "lam" in spec):
                 d = rng.poisson(lam=spec["lam"])
+            elif name == "binomial":
+                d = rng.binomial(n=int(spec["n"]), p=spec["p"])
+            elif name == "negbinomial":
+                d = rng.negative_binomial(n=spec["n"], p=spec["p"])
+            elif name == "randint":
+                d = rng.integers(low=int(spec["low"]), high=int(spec["high"]))
+            elif name == "geometric":
+                d = rng.geometric(p=spec["p"])
+            elif name == "normal":
+                d = rng.normal(loc=spec["loc"], scale=spec["scale"])
+            elif name == "hostfn":
+                kwargs = {k: v for k, v in spec.items()
+                          if k not in ("dist", "func")}
+                d = spec["func"](**kwargs)
             else:
                 raise ValueError(f"Unsupported retail demand spec: {spec}")
             out[t, j] = max(0, int(round(float(d))))

@@ -528,15 +528,36 @@ class NetInvMgmtMasterEnv(gym.Env):
         return self._frame("P", self._P, self.main_nodes, False)
 
     def _sample_demands(self) -> np.ndarray:
-        """Per retail link, in declaration order (network_management.py:536-540)."""
+        """Per retail link, in declaration order (network_management.py:536-540).
+
+        Named specs draw from ``self.np_random`` with the same Generator
+        method + kwargs the reference's default ``demand_dist_func`` lambdas
+        use, so seeded trajectories match the reference bit-for-bit;
+        ``hostfn`` specs call the user's callable verbatim
+        (network_management.py:258-263). Every draw is wrapped in
+        ``max(0, int(round(.)))`` exactly as the reference step does (:540)."""
         T = self.topology
+        rng = self.np_random
         out = np.zeros(T.n_retail)
         for j, spec in enumerate(T.rt_demand):
-            if spec[0] == "user":
+            tag = spec[0]
+            if tag == "user":
                 arr = spec[1]
                 d = arr[min(self.period, len(arr) - 1)]
-            elif spec[0] == "poisson":
-                d = self.np_random.poisson(lam=spec[1])
+            elif tag == "poisson":
+                d = rng.poisson(lam=spec[1])
+            elif tag == "binomial":
+                d = rng.binomial(n=int(spec[1]), p=spec[2])
+            elif tag == "negbinomial":
+                d = rng.negative_binomial(n=spec[1], p=spec[2])
+            elif tag == "randint":
+                d = rng.integers(low=int(spec[1]), high=int(spec[2]))
+            elif tag == "geometric":
+                d = rng.geometric(p=spec[1])
+            elif tag == "normal":
+                d = rng.normal(loc=spec[1], scale=spec[2])
+            elif tag == "hostfn":
+                d = spec[1](**dict(spec[2]))
             else:
                 d = 0.0
             out[j] = max(0, int(round(float(d))))

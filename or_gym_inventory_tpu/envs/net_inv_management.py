@@ -36,6 +36,7 @@ from or_gym_inventory_tpu.core.struct import TimeStep
 from or_gym_inventory_tpu.envs.base import Environment
 from or_gym_inventory_tpu.envs import topology as topo_mod
 from or_gym_inventory_tpu.envs.topology import Topology
+from or_gym_inventory_tpu.ops import distributions as D
 from or_gym_inventory_tpu.ops.distributions import sample_poisson
 
 
@@ -248,20 +249,47 @@ def step_with_demand(params: NetInvParams, state: NetInvState,
 
 
 def sample_demand(params: NetInvParams, key: jax.Array, period: jax.Array) -> jax.Array:
-    """Device-side per-retail-link demand (Poisson / user-array / zero —
-    network_management.py:240-267)."""
+    """Device-side per-retail-link demand for every named spec the topology
+    compiler emits (the reference's arbitrary per-edge ``demand_dist_func``
+    surface, network_management.py:123-127, 240-267): poisson / binomial /
+    negbinomial / randint / geometric / normal / user-array / zero. A
+    ``hostfn`` spec (unrecognizable host callable) cannot compile to device
+    and raises with instructions."""
     T = params.topology
     keys = jax.random.split(key, max(T.n_retail, 1))
     out = []
     for j, spec in enumerate(T.rt_demand):
-        if spec[0] == "poisson":
+        tag = spec[0]
+        if tag == "poisson":
             out.append(sample_poisson(keys[j], spec[1]).astype(jnp.float32))
-        elif spec[0] == "user":
+        elif tag == "binomial":
+            out.append(D.sample_binomial(keys[j], int(spec[1]), spec[2])
+                       .astype(jnp.float32))
+        elif tag == "negbinomial":
+            out.append(D.sample_negbinomial(keys[j], spec[1], spec[2])
+                       .astype(jnp.float32))
+        elif tag == "randint":
+            # numpy `integers` semantics (high exclusive); device sampler
+            # takes an inclusive upper bound
+            out.append(D.sample_randint(keys[j], int(spec[1]),
+                                        int(spec[2]) - 1).astype(jnp.float32))
+        elif tag == "geometric":
+            out.append(D.sample_geometric(keys[j], spec[1]).astype(jnp.float32))
+        elif tag == "normal":
+            out.append(D.sample_normal_rounded(keys[j], spec[1], spec[2])
+                       .astype(jnp.float32))
+        elif tag == "user":
             arr = jnp.asarray(spec[1], jnp.float32)
             n = arr.shape[0]
             out.append(arr[jnp.minimum(period, n - 1)])
-        else:
+        elif tag == "zero":
             out.append(jnp.zeros((), jnp.float32))
+        else:
+            raise NotImplementedError(
+                f"Retail link {T.retail_links[j]}: spec {tag!r} (an arbitrary "
+                "host callable) cannot compile to device — pass "
+                "demand_dist=<name> (see envs.topology) or use the Gymnasium "
+                "adapter, which calls the callable verbatim.")
     return jnp.stack(out)
 
 

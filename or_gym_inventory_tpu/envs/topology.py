@@ -16,9 +16,29 @@ Node/link classification mirrors network_management.py:146-195:
 
 Demand sources per retail link follow network_management.py:240-267: a
 ``user_D`` array is used verbatim iff it is nonzero-sum and not
-``sample_path``; otherwise the edge's distribution (Poisson(lam) is the
-reference default and the device-compilable path; arbitrary host lambdas are
-supported only by the host adapter).
+``sample_path``; otherwise the edge's distribution. The reference lets every
+retail edge carry an arbitrary ``demand_dist_func`` callable + ``dist_param``
+(default Poisson(lam=20)); here the same surface compiles to a NAMED demand
+spec — poisson / binomial / negbinomial / randint / geometric / normal —
+that samples on device (net_inv_management.sample_demand) and on host (the
+Gymnasium adapter). Spec resolution per edge:
+
+1. ``demand_dist`` (or a string ``demand_dist_func``): explicit name, with
+   ``dist_param`` holding that distribution's numpy-Generator kwargs
+   (poisson: lam; binomial/negbinomial: n, p; randint: low, high — numpy
+   ``integers`` semantics, high EXCLUSIVE; geometric: p; normal: loc, scale
+   — rounded half-even and clamped >= 0, as the reference wraps all demand
+   in ``max(0, int(round(.)))``).
+2. A callable ``demand_dist_func`` whose ``dist_param`` keys match a named
+   spec ({lam} / {n,p} / {low,high} / {p} / {loc,scale}) is assumed to be
+   the matching numpy sampler (exactly what the reference's default graph
+   builds: ``lambda **p: self.np_random.poisson(**p)``). Pass an explicit
+   ``demand_dist`` name if your callable shares kwargs with a different
+   distribution.
+3. A callable with unrecognizable kwargs compiles to a host-only
+   ``("hostfn", ...)`` spec: the Gymnasium adapter calls it verbatim
+   (full reference parity), while the device path raises with instructions
+   to use a named spec.
 
 Both reference topologies ship as built-ins: ``default_topology()``
 (9 nodes / 12 edges, network_management.py:108-144) and
@@ -33,6 +53,72 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 Edge = Tuple[int, int]
+
+# named demand specs: name -> ordered dist_param keys (numpy Generator kwargs;
+# randint follows numpy `integers` semantics — high EXCLUSIVE)
+_NAMED_SPECS = {
+    "poisson": ("lam",),
+    "binomial": ("n", "p"),
+    "negbinomial": ("n", "p"),
+    "randint": ("low", "high"),
+    "geometric": ("p",),
+    "normal": ("loc", "scale"),
+}
+
+# dist_param key-sets that identify a named spec when only a callable /
+# bare dist_param is given (the reference default graph's
+# ``lambda **p: self.np_random.poisson(**p)`` with {'lam': 20} resolves here)
+_INFERABLE = {
+    frozenset({"lam"}): "poisson",
+    frozenset({"n", "p"}): "binomial",
+    frozenset({"low", "high"}): "randint",
+    frozenset({"p"}): "geometric",
+    frozenset({"loc", "scale"}): "normal",
+}
+
+
+def _resolve_demand_spec(edge: Edge, attrs: Dict) -> Tuple:
+    """Resolve one retail edge's distribution attrs into an rt_demand spec
+    (the user_D-vs-distribution priority is handled by the caller, matching
+    network_management.py:246-267)."""
+    name = attrs.get("demand_dist")
+    func = attrs.get("demand_dist_func")
+    if name is None and isinstance(func, str):
+        name = func
+    dist_param = dict(attrs.get("dist_param", {}))
+    if name is not None:
+        if name not in _NAMED_SPECS:
+            raise ValueError(
+                f"Edge {edge}: unknown demand_dist {name!r}; known: "
+                f"{sorted(_NAMED_SPECS)}")
+        keys = _NAMED_SPECS[name]
+        missing = [k for k in keys if k not in dist_param]
+        if missing:
+            raise ValueError(
+                f"Edge {edge}: demand_dist {name!r} requires dist_param keys "
+                f"{list(keys)}; missing {missing}")
+        extra = sorted(set(dist_param) - set(keys))
+        if extra:
+            raise ValueError(
+                f"Edge {edge}: demand_dist {name!r} takes dist_param keys "
+                f"{list(keys)}; unexpected {extra}")
+        return (name,) + tuple(float(dist_param[k]) for k in keys)
+    inferred = _INFERABLE.get(frozenset(dist_param))
+    if inferred is not None:
+        keys = _NAMED_SPECS[inferred]
+        return (inferred,) + tuple(float(dist_param[k]) for k in keys)
+    if callable(func):
+        # arbitrary host callable (reference demand_dist_func,
+        # network_management.py:123-127): host adapter calls it verbatim;
+        # the device path raises with instructions to use a named spec
+        return ("hostfn", func,
+                tuple(sorted(dist_param.items())))
+    if dist_param or func is not None:
+        raise ValueError(
+            f"Edge {edge}: cannot resolve demand spec from "
+            f"dist_param={sorted(dist_param)}; pass demand_dist=<name> from "
+            f"{sorted(_NAMED_SPECS)}, a callable demand_dist_func, or user_D")
+    return ("zero",)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,7 +155,11 @@ class Topology:
     rt_retailer_main: Tuple[int, ...]
     rt_price: Tuple[float, ...]
     rt_b: Tuple[float, ...]
-    # demand spec per link: ("poisson", lam) | ("user", values-tuple) | ("zero",)
+    # demand spec per link (see module docstring):
+    #   ("poisson", lam) | ("binomial", n, p) | ("negbinomial", n, p)
+    #   | ("randint", low, high_exclusive) | ("geometric", p)
+    #   | ("normal", loc, scale) | ("user", values-tuple)
+    #   | ("hostfn", callable, ((key, val), ...)) | ("zero",)
     rt_demand: Tuple[Tuple, ...]
 
     @property
@@ -115,12 +205,17 @@ class Topology:
         (core/parity.net_inv_demand_stream)."""
         out = []
         for spec in self.rt_demand:
-            if spec[0] == "poisson":
-                out.append({"lam": spec[1]})
-            elif spec[0] == "user":
+            if spec[0] == "user":
                 out.append({"user_D": np.asarray(spec[1])})
-            else:
+            elif spec[0] == "zero":
                 out.append({"user_D": np.zeros(1)})
+            elif spec[0] == "hostfn":
+                out.append({"dist": "hostfn", "func": spec[1],
+                            **dict(spec[2])})
+            else:
+                keys = _NAMED_SPECS[spec[0]]
+                out.append({"dist": spec[0],
+                            **dict(zip(keys, spec[1:]))})
         return tuple(out)
 
     def validate(self):
@@ -210,16 +305,8 @@ def compile_graph(nodes: Dict[int, Dict], edges: Sequence[Tuple[int, int, Dict]]
                 raise AssertionError(
                     f"Edge {e}: user_D length {len(ud)} != num_periods {num_periods}")
             rt_d.append(("user", tuple(float(x) for x in ud)))
-        elif "dist_param" in a:
-            dist_param = dict(a["dist_param"])
-            if "lam" in dist_param:
-                rt_d.append(("poisson", float(dist_param["lam"])))
-            else:
-                raise ValueError(
-                    f"Edge {e}: only Poisson ('lam') demand compiles to device; "
-                    f"got {dist_param}. Use user_D or the host adapter.")
         else:
-            rt_d.append(("zero",))
+            rt_d.append(_resolve_demand_spec(e, a))
 
     def node_attr(name, default):
         return tuple(float(nodes[j].get(name, default)) for j in main_nodes)
