@@ -19,7 +19,9 @@ from or_gym_inventory_tpu.agents.base import RandomAgent
 from or_gym_inventory_tpu.agents.off_policy import (DDPGAgent, OffPolicyConfig,
                                                     SACAgent, TD3Agent)
 from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
-from or_gym_inventory_tpu.agents.recurrent_ppo import (RecurrentPPOAgent,
+from or_gym_inventory_tpu.agents.recurrent_ppo import (A2CLSTMAgent,
+                                                       A2CLSTMConfig,
+                                                       RecurrentPPOAgent,
                                                        RecurrentPPOConfig)
 from or_gym_inventory_tpu.bench.runner import run_benchmark
 from or_gym_inventory_tpu.envs import adapters as ad
@@ -73,6 +75,9 @@ def build_agents():
             E, pf, name="PPO_LSTM",
             config=RecurrentPPOConfig(num_envs=512, rollout_steps=50,
                                       num_minibatches=8), **rl)),
+        # the reference roster also requests A2C with "MlpLstmPolicy"
+        # (benchmark_InvManagementBacklogEnv.py:713)
+        ("A2C_LSTM", A2CLSTMAgent(E, pf, config=A2CLSTMConfig(), **rl)),
     ]
 
 

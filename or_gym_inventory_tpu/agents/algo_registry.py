@@ -24,6 +24,10 @@ from or_gym_inventory_tpu.agents.base import BaseAgent
 from or_gym_inventory_tpu.agents.off_policy import (DDPGAgent, OffPolicyConfig,
                                                     SACAgent, TD3Agent)
 from or_gym_inventory_tpu.agents.ppo import PPOAgent, PPOConfig
+from or_gym_inventory_tpu.agents.recurrent_ppo import (A2CLSTMAgent,
+                                                       A2CLSTMConfig,
+                                                       RecurrentPPOAgent,
+                                                       RecurrentPPOConfig)
 from or_gym_inventory_tpu.envs import registry
 
 
@@ -82,5 +86,15 @@ def make_agent(algo_name: str, env_id: str,
                             batch_size=256, start_steps=1_000), updates)
         cls = {"SAC": SACAgent, "TD3": TD3Agent, "DDPG": DDPGAgent}[algo]
         return cls(env, params_factory, name=name, config=cfg, **agent_kwargs)
+    if algo in ("PPO_LSTM", "PPO-LSTM", "RECURRENTPPO"):
+        cfg = _apply_updates(
+            RecurrentPPOConfig(num_envs=256, rollout_steps=32,
+                               num_minibatches=8), updates)
+        return RecurrentPPOAgent(env, params_factory, name=name, config=cfg,
+                                 **agent_kwargs)
+    if algo in ("A2C_LSTM", "A2C-LSTM"):
+        cfg = _apply_updates(A2CLSTMConfig(), updates)
+        return A2CLSTMAgent(env, params_factory, name=name, config=cfg,
+                            **agent_kwargs)
     raise ValueError(f"Unknown algorithm {algo_name!r}; "
-                     "known: PPO, A2C, SAC, TD3, DDPG")
+                     "known: PPO, A2C, SAC, TD3, DDPG, PPO_LSTM, A2C_LSTM")

@@ -164,10 +164,23 @@ class OffPolicyState:
     window: dict              # rolling n-step window, oldest-first (n=1: size-1)
 
 
-def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
-    """Build (init_fn, update_fn, eval_policy) for the configured algorithm."""
+def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
+                   axis_name: Optional[str] = None,
+                   local_envs: Optional[int] = None):
+    """Build (init_fn, update_fn, eval_policy) for the configured algorithm.
+
+    With ``axis_name`` set (inside shard_map), the env batch, n-step window,
+    and replay buffer are per-shard (``local_envs`` envs and a
+    proportionally-sized buffer slice each); params/opt-state are replicated
+    and gradients/normalization statistics psum over the mesh — the same
+    data-parallel layout as agents/ppo.py. Each shard samples its own
+    ``batch_size`` minibatch and the pmean'd gradient is equivalent to one
+    ``batch_size * n_devices`` step.
+    """
     if cfg.n_step < 1:
         raise ValueError(f"n_step must be >= 1, got {cfg.n_step}")
+    n_local = local_envs or cfg.num_envs
+    buffer_local = cfg.buffer_size * n_local // cfg.num_envs
     space = env.action_space(env_params)
     obs_dim = env.observation_space(env_params).shape[0]
     act_dim = int(np.prod(space.shape))
@@ -198,18 +211,24 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
         return a.astype(jnp.int32) if int_actions else a
 
     def init(key) -> OffPolicyState:
+        # params (k1/k2) draw from the caller's key — under a mesh that key
+        # is REPLICATED so replicas start byte-identical (pmean'd grads keep
+        # them in lockstep but never reconcile a divergent start); only the
+        # env-reset stream (k3) is per-shard
         k1, k2, k3 = jax.random.split(key, 3)
+        if axis_name is not None:
+            k3 = jax.random.fold_in(k3, jax.lax.axis_index(axis_name))
         dummy_obs = jnp.zeros((1, obs_dim), jnp.float32)
         dummy_act = jnp.zeros((1, act_dim), jnp.float32)
         actor_params = actor.init(k1, dummy_obs)
         q_params = twin_q.init(k2, dummy_obs, dummy_act)
-        env_state, ts0 = vecenv.batch_reset(env, env_params, k3, cfg.num_envs)
+        env_state, ts0 = vecenv.batch_reset(env, env_params, k3, n_local)
         window = dict(
-            obs=jnp.zeros((cfg.n_step, cfg.num_envs, obs_dim), jnp.float32),
-            action=jnp.zeros((cfg.n_step, cfg.num_envs, act_dim), jnp.float32),
-            reward=jnp.zeros((cfg.n_step, cfg.num_envs), jnp.float32),
-            next_obs=jnp.zeros((cfg.n_step, cfg.num_envs, obs_dim), jnp.float32),
-            done=jnp.zeros((cfg.n_step, cfg.num_envs), jnp.bool_))
+            obs=jnp.zeros((cfg.n_step, n_local, obs_dim), jnp.float32),
+            action=jnp.zeros((cfg.n_step, n_local, act_dim), jnp.float32),
+            reward=jnp.zeros((cfg.n_step, n_local), jnp.float32),
+            next_obs=jnp.zeros((cfg.n_step, n_local, obs_dim), jnp.float32),
+            done=jnp.zeros((cfg.n_step, n_local), jnp.bool_))
         return OffPolicyState(
             actor_params=actor_params, q_params=q_params,
             target_q_params=q_params, target_actor_params=actor_params,
@@ -218,7 +237,7 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
             q_opt=q_tx.init(q_params),
             alpha_opt=alpha_tx.init(jnp.zeros((), jnp.float32)),
             rms=RunningMeanStd.create(obs_dim),
-            buffer=ReplayBuffer.create(cfg.buffer_size, obs_dim, act_dim),
+            buffer=ReplayBuffer.create(buffer_local, obs_dim, act_dim),
             env_state=env_state, last_obs=ts0.obs,
             step_idx=jnp.zeros((), jnp.int32), window=window)
 
@@ -244,16 +263,17 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
             mean, _ = actor.apply(state.actor_params, nobs)
             noise = cfg.explore_noise * jax.random.normal(akey, mean.shape)
             raw = mean + noise
-        # random warmup until start_steps total env steps
+        # random warmup until start_steps total env steps (num_envs is the
+        # GLOBAL batch — under a mesh all shards step in lockstep)
         warmup = state.step_idx * cfg.num_envs < cfg.start_steps
         raw = jnp.where(warmup,
                         jax.random.normal(jax.random.fold_in(akey, 1), raw.shape),
                         raw)
         env_state, ts = vecenv.batch_step(
             env, env_params, state.env_state, to_env_action(raw), skey,
-            cfg.num_envs)
+            n_local)
         env_state, next_obs = vecenv.auto_reset(
-            env, env_params, env_state, ts, rkey, cfg.num_envs)
+            env, env_params, env_state, ts, rkey, n_local)
         # fixed-horizon truncations bootstrap (done treated as non-terminal),
         # matching the envs' truncation-only semantics. The newest transition
         # enters an oldest-first rolling window; the window collapses into one
@@ -283,7 +303,8 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
                 lambda b: b.insert(window["obs"][0], window["action"][0],
                                    reward_n, next_obs_n, done_n, disc_n),
                 lambda b: b, state.buffer)
-        rms = state.rms.update(state.last_obs) if cfg.normalize_obs else state.rms
+        rms = state.rms.update(state.last_obs, axis_name) \
+            if cfg.normalize_obs else state.rms
 
         # --------------------------- gradient step ------------------------
         def one_update(carry, ukey):
@@ -321,6 +342,8 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
                 return ((q1 - target) ** 2).mean() + ((q2 - target) ** 2).mean()
 
             q_grads = jax.grad(q_loss_fn)(q_params)
+            if axis_name is not None:
+                q_grads = jax.lax.pmean(q_grads, axis_name)
             q_updates, q_opt = q_tx.update(q_grads, q_opt, q_params)
             q_params = optax.apply_updates(q_params, q_updates)
 
@@ -335,6 +358,8 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
 
             do_actor = (cfg.algo != "td3") | (state.step_idx % cfg.policy_delay == 0)
             a_grads, logp = jax.grad(actor_loss_fn, has_aux=True)(actor_params)
+            if axis_name is not None:
+                a_grads = jax.lax.pmean(a_grads, axis_name)
             a_grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)), a_grads)
             a_updates, actor_opt = actor_tx.update(a_grads, actor_opt, actor_params)
@@ -345,6 +370,8 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
                     return -(jnp.exp(la) * (jax.lax.stop_gradient(logp)
                                             + target_entropy)).mean()
                 al_grads = jax.grad(alpha_loss_fn)(log_alpha)
+                if axis_name is not None:
+                    al_grads = jax.lax.pmean(al_grads, axis_name)
                 al_updates, alpha_opt = alpha_tx.update(al_grads, alpha_opt,
                                                         log_alpha)
                 log_alpha = optax.apply_updates(log_alpha, al_updates)
@@ -371,7 +398,10 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
             alpha_opt=alpha_opt, rms=rms, buffer=buffer,
             env_state=env_state, last_obs=next_obs,
             step_idx=state.step_idx + 1, window=window)
-        metrics = dict(mean_step_reward=jnp.mean(ts.reward),
+        mean_step_reward = jnp.mean(ts.reward)
+        if axis_name is not None:
+            mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)
+        metrics = dict(mean_step_reward=mean_step_reward,
                        alpha=jnp.exp(log_alpha))
         return new_state, metrics
 
@@ -385,28 +415,82 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig):
 
 
 def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
-          total_timesteps: int, log_every: int = 50, progress=None):
+          total_timesteps: int, log_every: int = 50, progress=None,
+          mesh=None, axis_name: str = "env"):
     """Run off-policy training; chunked so each device call covers many
-    iterations (scan) with metrics surfaced every ``log_every`` iters."""
-    init, update, eval_policy = make_offpolicy(env, env_params, cfg)
+    iterations (scan) with metrics surfaced every ``log_every`` iters.
+
+    With ``mesh``, the env batch + replay buffer shard over ``axis_name``
+    (data parallel over ICI); params replicate and gradients pmean — the
+    same layout as agents/ppo.train.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        init, update, eval_policy = make_offpolicy(env, env_params, cfg)
+        init_jit = jax.jit(init)
+
+        def chunk(state, key):
+            def body(carry, k):
+                state = carry
+                state, metrics = update(state, k)
+                return state, metrics
+            keys = jax.random.split(key, log_every)
+            state, metrics = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+        run_chunk = jax.jit(chunk)
+        state = init_jit(key)
+    else:
+        n_dev = mesh.devices.size
+        assert cfg.num_envs % n_dev == 0, (cfg.num_envs, n_dev)
+        assert cfg.buffer_size % n_dev == 0, (cfg.buffer_size, n_dev)
+        local = cfg.num_envs // n_dev
+        init, update, eval_policy = make_offpolicy(
+            env, env_params, cfg, axis_name=axis_name, local_envs=local)
+
+        state_spec = OffPolicyState(
+            actor_params=P(), q_params=P(), target_q_params=P(),
+            target_actor_params=P(), log_alpha=P(), actor_opt=P(), q_opt=P(),
+            alpha_opt=P(), rms=P(),
+            buffer=ReplayBuffer(obs=P(axis_name), action=P(axis_name),
+                                reward=P(axis_name), next_obs=P(axis_name),
+                                done=P(axis_name), disc=P(axis_name),
+                                ptr=P(), filled=P()),
+            env_state=P(axis_name), last_obs=P(axis_name), step_idx=P(),
+            window=P(None, axis_name))
+
+        # init key REPLICATED: params identical per shard, env streams forked
+        # inside init via axis_index
+        init_fn = jax.shard_map(init, mesh=mesh, in_specs=P(),
+                                out_specs=state_spec, check_vma=False)
+        state = jax.jit(init_fn)(key)
+
+        def sharded_chunk(state, keys):
+            key = jax.random.fold_in(keys[0], jax.lax.axis_index(axis_name))
+
+            def body(carry, k):
+                state = carry
+                state, metrics = update(state, k)
+                return state, metrics
+
+            ks = jax.random.split(key, log_every)
+            state, metrics = jax.lax.scan(body, state, ks)
+            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+        run_chunk_sm = jax.shard_map(
+            sharded_chunk, mesh=mesh, in_specs=(state_spec, P(axis_name)),
+            out_specs=(state_spec, P()), check_vma=False)
+        run_chunk = jax.jit(run_chunk_sm)
+
     n_iters = max(1, total_timesteps // cfg.num_envs)
-    state = jax.jit(init)(key)
-
-    @jax.jit
-    def run_chunk(state, key):
-        def body(carry, k):
-            state = carry
-            state, metrics = update(state, k)
-            return state, metrics
-        keys = jax.random.split(key, log_every)
-        state, metrics = jax.lax.scan(body, state, keys)
-        return state, jax.tree_util.tree_map(jnp.mean, metrics)
-
     metrics_log = []
     done_iters = 0
     while done_iters < n_iters:
         key, ckey = jax.random.split(key)
-        state, metrics = run_chunk(state, ckey)
+        ckeys = ckey if mesh is None else jax.random.split(
+            ckey, mesh.devices.size)
+        state, metrics = run_chunk(state, ckeys)
         done_iters += log_every
         m = {k: float(v) for k, v in metrics.items()}
         m["timesteps"] = done_iters * cfg.num_envs
@@ -429,7 +513,8 @@ class OffPolicyAgent(BaseAgent):
                  config: Optional[OffPolicyConfig] = None,
                  model_dir: str = "./models", log_dir: str = "./logs",
                  force_retrain: bool = False, seed: int = 0,
-                 eval_every_chunks: int = 0, eval_episodes: int = 64):
+                 eval_every_chunks: int = 0, eval_episodes: int = 64,
+                 mesh=None):
         super().__init__(name=name or algo.upper())
         self.env = env
         self.params_factory = params_factory
@@ -437,6 +522,7 @@ class OffPolicyAgent(BaseAgent):
         self.model_dir, self.log_dir = model_dir, log_dir
         self.force_retrain = force_retrain
         self.seed = seed
+        self.mesh = mesh
         # EvalCallback equivalent (reference SB3AgentWrapper keeps the best
         # periodic-eval checkpoint; benchmark_InvManagementBacklogEnv.py:
         # 275-281, 303-311). 0 = disabled.
@@ -511,7 +597,7 @@ class OffPolicyAgent(BaseAgent):
         state, eval_policy, metrics = train(
             self.env, self.env_params, self.config,
             jax.random.PRNGKey(self.seed), total_timesteps,
-            progress=progress)
+            progress=progress, mesh=self.mesh)
         if best["actor"] is not None:
             print(f"Loading best model (eval reward {best['reward']:.2f})")
             state = state.replace(actor_params=best["actor"], rms=best["rms"])

@@ -137,11 +137,18 @@ def _optimizer(cfg: PPOConfig, total_updates: int):
 
 def init_train_state(env: Environment, env_params, cfg: PPOConfig,
                      key: jax.Array, total_updates: int,
-                     local_envs: Optional[int] = None) -> PPOTrainState:
+                     local_envs: Optional[int] = None,
+                     axis_name: Optional[str] = None) -> PPOTrainState:
+    """With ``axis_name`` (inside shard_map with a REPLICATED key), params
+    initialize from the common key — replicas must be byte-identical, since
+    pmean'd gradients keep them in lockstep but never reconcile a divergent
+    start — while the env-reset key is per-shard (folded axis index)."""
     model = _make_model(env, env_params, cfg)
     obs_dim = env.observation_space(env_params).shape[0]
     n = local_envs or cfg.num_envs
     p_key, r_key = jax.random.split(key)
+    if axis_name is not None:
+        r_key = jax.random.fold_in(r_key, jax.lax.axis_index(axis_name))
     params = model.init(p_key, jnp.zeros((1, obs_dim), jnp.float32))
     opt_state = _optimizer(cfg, total_updates).init(params)
     env_state, ts0 = vecenv.batch_reset(env, env_params, r_key, n)
@@ -336,18 +343,20 @@ def train(env: Environment, env_params, cfg: PPOConfig, key: jax.Array,
         local = cfg.num_envs // n_dev
 
         def sharded_init(key):
-            key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+            # key is REPLICATED: params identical on every shard; only the
+            # env-reset stream differs (axis fold inside init_train_state)
             return init_train_state(env, env_params, cfg, key,
-                                    total_updates, local_envs=local)
+                                    total_updates, local_envs=local,
+                                    axis_name=axis_name)
 
         state_spec = PPOTrainState(
             params=P(), opt_state=P(), rms=P(), ret_rms=P(),
             ret_accum=P(axis_name),
             env_state=P(axis_name), last_obs=P(axis_name), update_idx=P())
         init_fn = jax.shard_map(
-            sharded_init, mesh=mesh, in_specs=P(axis_name),
+            sharded_init, mesh=mesh, in_specs=P(),
             out_specs=state_spec, check_vma=False)
-        state = jax.jit(init_fn)(jax.random.split(key, n_dev))
+        state = jax.jit(init_fn)(key)
 
         def sharded_update(state, keys):
             key = jax.random.fold_in(keys[0], jax.lax.axis_index(axis_name))

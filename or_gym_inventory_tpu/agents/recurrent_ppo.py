@@ -56,7 +56,13 @@ def _make_model(env, env_params, cfg: RecurrentPPOConfig):
 
 
 def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
-                   total_updates: int):
+                   total_updates: int, axis_name=None, local_envs=None):
+    """With ``axis_name`` set (inside shard_map), the env batch and LSTM
+    carries shard over the mesh (``local_envs`` per shard); params replicate
+    and gradients/normalization statistics psum — same data-parallel layout
+    as agents/ppo.py. Minibatches slice each shard's local env axis, so
+    sequences stay whole per shard."""
+    n_envs_local = local_envs or cfg.num_envs
     model = _make_model(env, env_params, cfg)
     space = env.action_space(env_params)
     low = jnp.asarray(space.low, jnp.float32)
@@ -70,22 +76,27 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         return a.astype(jnp.int32) if int_actions else a
 
     def init(key) -> RPPOTrainState:
+        # params (pkey) draw from the caller's key — under a mesh that key
+        # is REPLICATED so replicas start byte-identical; only the env-reset
+        # stream (rkey) is per-shard
         pkey, rkey = jax.random.split(key)
-        carry0 = model.initial_carry(cfg.num_envs)
-        params = model.init(pkey, carry0, jnp.zeros((cfg.num_envs, obs_dim),
+        if axis_name is not None:
+            rkey = jax.random.fold_in(rkey, jax.lax.axis_index(axis_name))
+        carry0 = model.initial_carry(n_envs_local)
+        params = model.init(pkey, carry0, jnp.zeros((n_envs_local, obs_dim),
                                                     jnp.float32))
-        env_state, ts0 = vecenv.batch_reset(env, env_params, rkey, cfg.num_envs)
+        env_state, ts0 = vecenv.batch_reset(env, env_params, rkey, n_envs_local)
         return RPPOTrainState(
             params=params, opt_state=tx.init(params),
             rms=RunningMeanStd.create(obs_dim),
             ret_rms=RunningMeanStd.create(1),
-            ret_accum=jnp.zeros((cfg.num_envs,), jnp.float32),
+            ret_accum=jnp.zeros((n_envs_local,), jnp.float32),
             env_state=env_state,
-            last_obs=ts0.obs, last_done=jnp.zeros((cfg.num_envs,), bool),
+            last_obs=ts0.obs, last_done=jnp.zeros((n_envs_local,), bool),
             carry=carry0, update_idx=jnp.zeros((), jnp.int32))
 
     def update(state: RPPOTrainState, key: jax.Array):
-        n_envs = cfg.num_envs
+        n_envs = state.last_obs.shape[0]  # local batch under a mesh
         norm = state.rms.normalize if cfg.normalize_obs else \
             (lambda x: x.astype(jnp.float32))
         init_carry = state.carry
@@ -117,7 +128,8 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
 
         raw_rewards = tr["reward"]
         if cfg.normalize_reward:
-            ret_rms = state.ret_rms.update(tr["ret_accum"].reshape(-1, 1))
+            ret_rms = state.ret_rms.update(tr["ret_accum"].reshape(-1, 1),
+                                           axis_name)
             scale = jax.lax.rsqrt(ret_rms.var[0] + 1e-8)
             tr = dict(tr, reward=jnp.clip(tr["reward"] * scale, -10.0, 10.0))
         else:
@@ -182,6 +194,8 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
                 mb["init_carry"] = jax.tree_util.tree_map(
                     lambda c: c[idx], init_carry)
                 grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
@@ -194,10 +208,13 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         (params, opt_state), aux = jax.lax.scan(
             epoch, (state.params, state.opt_state), epoch_keys)
 
-        rms = state.rms.update(tr["obs"].reshape(-1, obs_dim)) \
+        rms = state.rms.update(tr["obs"].reshape(-1, obs_dim), axis_name) \
             if cfg.normalize_obs else state.rms
         pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
-        metrics = dict(mean_step_reward=jnp.mean(raw_rewards),
+        mean_step_reward = jnp.mean(raw_rewards)
+        if axis_name is not None:
+            mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)
+        metrics = dict(mean_step_reward=mean_step_reward,
                        pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
         new_state = RPPOTrainState(
             params=params, opt_state=opt_state, rms=rms, ret_rms=ret_rms,
@@ -239,15 +256,54 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
 
 
 def train(env: Environment, env_params, cfg: RecurrentPPOConfig,
-          key: jax.Array, total_timesteps: int, progress=None):
+          key: jax.Array, total_timesteps: int, progress=None,
+          mesh=None, axis_name: str = "env"):
+    """With ``mesh``, the env batch + LSTM carries shard over ``axis_name``;
+    params replicate, grads pmean — same layout as agents/ppo.train."""
+    from jax.sharding import PartitionSpec as P
+
     total_updates = cfg.num_updates(total_timesteps)
-    init, update, eval_episodes = make_train_fns(env, env_params, cfg,
-                                                 total_updates)
-    state = jax.jit(init)(key)
-    update_jit = jax.jit(update)
+    if mesh is None:
+        init, update, eval_episodes = make_train_fns(env, env_params, cfg,
+                                                     total_updates)
+        state = jax.jit(init)(key)
+        update_jit = jax.jit(update)
+    else:
+        n_dev = mesh.devices.size
+        assert cfg.num_envs % n_dev == 0, (cfg.num_envs, n_dev)
+        local = cfg.num_envs // n_dev
+        assert local % cfg.num_minibatches == 0, (
+            "per-shard env count must divide into minibatches", local,
+            cfg.num_minibatches)
+        init, update, eval_episodes = make_train_fns(
+            env, env_params, cfg, total_updates, axis_name=axis_name,
+            local_envs=local)
+        state_spec = RPPOTrainState(
+            params=P(), opt_state=P(), rms=P(), ret_rms=P(),
+            ret_accum=P(axis_name), env_state=P(axis_name),
+            last_obs=P(axis_name), last_done=P(axis_name),
+            carry=P(axis_name), update_idx=P())
+
+        # init key REPLICATED: params identical per shard, env streams forked
+        # inside init via axis_index
+        init_fn = jax.shard_map(init, mesh=mesh, in_specs=P(),
+                                out_specs=state_spec, check_vma=False)
+        state = jax.jit(init_fn)(key)
+
+        def sharded_update(state, keys):
+            k = jax.random.fold_in(keys[0], jax.lax.axis_index(axis_name))
+            return update(state, k)
+
+        update_sm = jax.shard_map(
+            sharded_update, mesh=mesh, in_specs=(state_spec, P(axis_name)),
+            out_specs=(state_spec, P()), check_vma=False)
+        update_jit = jax.jit(update_sm)
+
     metrics_log = []
     for i in range(total_updates):
         key, ukey = jax.random.split(key)
+        if mesh is not None:
+            ukey = jax.random.split(ukey, mesh.devices.size)
         state, metrics = update_jit(state, ukey)
         m = {k: float(v) for k, v in metrics.items()}
         m["update"] = i + 1
@@ -283,7 +339,7 @@ class RecurrentPPOAgent(PPOAgent):
         start = time.time()
         state, eval_episodes, metrics = train(
             self.env, self.env_params, self.config,
-            jax.random.PRNGKey(self.seed), total_timesteps)
+            jax.random.PRNGKey(self.seed), total_timesteps, mesh=self.mesh)
         self.train_state = state
         self.training_log = metrics
         self.training_time = time.time() - start
@@ -333,3 +389,27 @@ class RecurrentPPOAgent(PPOAgent):
 
     def device_policy(self, env, params):
         return None  # recurrent eval needs carry threading; host path only
+
+
+def A2CLSTMConfig(num_envs: int = 256, rollout_steps: int = 8, lr: float = 7e-4,
+                  gamma: float = 0.99, gae_lambda: float = 1.0,
+                  hidden: int = 128, encoder: Tuple[int, ...] = (64,),
+                  **kw) -> RecurrentPPOConfig:
+    """SB3-A2C-shaped defaults on the recurrent machinery — the reference's
+    A2C_LSTM roster entry ("MlpLstmPolicy" A2C,
+    benchmark_InvManagementBacklogEnv.py:713): one epoch, one full-batch
+    minibatch, effectively-unclipped ratio, RMSprop, no LR anneal (the same
+    recipe as agents/a2c.A2CConfig, plus the LSTM core)."""
+    return RecurrentPPOConfig(
+        num_envs=num_envs, rollout_steps=rollout_steps, lr=lr, gamma=gamma,
+        gae_lambda=gae_lambda, clip_eps=10.0, update_epochs=1,
+        num_minibatches=1, ent_coef=0.0, vf_coef=0.5, max_grad_norm=0.5,
+        anneal_lr=False, optimizer="rmsprop", hidden=hidden, encoder=encoder,
+        **kw)
+
+
+class A2CLSTMAgent(RecurrentPPOAgent):
+    def __init__(self, env, params_factory, name: str = "A2C_LSTM",
+                 config: Optional[RecurrentPPOConfig] = None, **kwargs):
+        super().__init__(env, params_factory, name=name,
+                         config=config or A2CLSTMConfig(), **kwargs)

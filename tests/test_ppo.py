@@ -43,6 +43,12 @@ def test_ppo_sharded_matches_api():
     state, metrics = ppo.train(nv.ENV, params, TINY, jax.random.PRNGKey(0),
                                total_timesteps=16 * 8 * 2, mesh=mesh)
     assert len(metrics["mean_step_reward"]) == 2
+    # replicas must hold byte-identical params (divergent init would never
+    # be reconciled by pmean'd gradients)
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)
     # params replicated: evaluating policy on full batch works
     policy = ppo.make_eval_policy(nv.ENV, params, TINY)
     totals, traj = vecenv.evaluate_episodes(
