@@ -67,21 +67,32 @@ def _poisson_lam(params):
 
 
 def _crosscheck_kernel(params):
-    """Kernel vs XLA step chain on identical action/demand streams at the
-    bench operating point (small batch). Raises on disagreement."""
+    """Fused kernel vs XLA step chain at the bench operating point (small
+    batch). The fused kernel samples actions AND Poisson demand on-core;
+    ``sample_streams_debug`` replays its exact PRNG consumption and dumps
+    both streams, so the check is deterministic end-to-end: fused returns
+    must match (a) the pre-materialized-stream kernel and (b) the XLA step
+    chain, all fed the dumped streams. Raises on disagreement."""
     from or_gym_inventory_tpu.ops import pallas_net_step as pk
-    T = params.topology
-    lam = _poisson_lam(params)
-    hi = float(T.order_cap_heuristic * 2)
-    ka, kd = jax.random.split(jax.random.PRNGKey(2024))
-    actions = jax.random.uniform(
-        ka, (NUM_STEPS, T.n_reorder, CROSSCHECK_ENVS), maxval=hi)
-    demands = jax.random.poisson(
-        kd, lam[None, :, None],
-        (NUM_STEPS, T.n_retail, CROSSCHECK_ENVS)).astype(jnp.float32)
+    _poisson_lam(params)  # refuse non-Poisson topologies loudly
+    hi = float(params.topology.order_cap_heuristic * 2)
+    seed = jnp.asarray(2024, jnp.int32)
+    actions, demands = jax.jit(
+        pk.sample_streams_debug, static_argnames=("act_hi", "batch", "block")
+    )(params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=512)
+    fused_ret = np.asarray(jax.jit(
+        pk.episode_returns_fully_fused,
+        static_argnames=("act_hi", "batch", "block"))(
+            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=512))
 
     kernel_ret = jax.jit(pk.episode_returns, static_argnames="block")(
         params, actions, demands, block=512)
+    if not np.allclose(fused_ret, np.asarray(kernel_ret), rtol=1e-5,
+                       atol=1e-3):
+        worst = float(np.abs(fused_ret - np.asarray(kernel_ret)).max())
+        raise RuntimeError(
+            f"fully-fused kernel disagrees with the pre-materialized-stream "
+            f"kernel on its own dumped streams (max |diff| = {worst:.4g})")
 
     @jax.jit
     def xla_ret(actions, demands):
@@ -109,21 +120,20 @@ def _crosscheck_kernel(params):
 
 
 def _pallas_path(params):
+    """Fully-fused whole-episode kernel: state VMEM-resident, actions AND
+    Poisson demand sampled on-core (kernel_roofline.py measured the XLA
+    Poisson sampler at ~11x the episode kernel's own cost — fusing it is the
+    difference between ~71M and several hundred M steps/s)."""
     from or_gym_inventory_tpu.ops import pallas_net_step as pk
     T = params.topology
     hi = float(T.order_cap_heuristic * 2)
-    lam = _poisson_lam(params)
     _crosscheck_kernel(params)
 
     @jax.jit
     def run(key):
-        dkey, skey = jax.random.split(key)
-        dems = jax.random.poisson(
-            dkey, lam[None, :, None],
-            (NUM_STEPS, T.n_retail, NUM_ENVS_PALLAS)).astype(jnp.float32)
-        seed = jax.random.randint(skey, (), 0, 2**31 - 1)
-        return pk.episode_returns_random_policy(
-            params, dems, seed, hi, block=1024).sum()
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        return pk.episode_returns_fully_fused(
+            params, seed, hi, NUM_ENVS_PALLAS, block=1024).sum()
 
     return _time(run), NUM_ENVS_PALLAS
 
@@ -144,6 +154,9 @@ def _xla_path(params):
 
 
 def main():
+    from or_gym_inventory_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     params = net.default_params(num_periods=NUM_STEPS)
     path = "pallas"
     if jax.default_backend() != "tpu":

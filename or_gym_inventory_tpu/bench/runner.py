@@ -14,6 +14,8 @@ import time
 from typing import Callable, Dict, Sequence, Tuple
 
 from or_gym_inventory_tpu.agents.base import BaseAgent
+from or_gym_inventory_tpu.utils.compile_cache import \
+    enable_persistent_compile_cache
 from or_gym_inventory_tpu.bench import plots
 from or_gym_inventory_tpu.bench.evaluate import (evaluate_agent,
                                                  evaluate_agent_vectorized)
@@ -38,6 +40,7 @@ def run_benchmark(env_name_short: str,
     ``fast=True`` uses the vectorized device evaluator (one episode per lane)
     for agents exposing a device policy; others fall back to the host path.
     """
+    enable_persistent_compile_cache()
     results_dir = results_dir or f"./benchmark_results_{env_name_short}"
     log_dir = log_dir or f"./logs_{env_name_short}"
 

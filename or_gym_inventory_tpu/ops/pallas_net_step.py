@@ -199,6 +199,192 @@ def _episode_kernel_body_inkernel_actions(
     rew_ref[0, :] = total
 
 
+def _poisson_cdf_table(lam: float, granularity: float = 2.0 ** -24):
+    """Poisson CDF values F(0..K-1) for compile-time inversion sampling.
+
+    Computed in float64 on host (exact for lam <= ~700), truncated at the
+    first K with P(X >= K) < ``granularity`` — below the resolution of the
+    24-bit uniform the kernel inverts, so truncation is unobservable. The
+    returned Python floats are baked into the kernel as constants (lam is
+    static topology data, like every other Topology scalar)."""
+    import numpy as np
+    if lam <= 0.0:
+        return (float("inf"),)  # demand identically 0
+    p = float(np.exp(-lam))
+    F = p
+    table = [F]
+    k = 0
+    while 1.0 - F > granularity and k < 4096:
+        k += 1
+        p *= lam / k
+        F += p
+        table.append(F)
+    # store as f32 the way the kernel compares them
+    return tuple(float(np.float32(v)) for v in table)
+
+
+def _topology_cdf_tables(T):
+    """Per-retail-link compile-time CDF tables; Poisson links only."""
+    tables = []
+    for spec in T.rt_demand:
+        if spec[0] != "poisson":
+            raise NotImplementedError(
+                f"fused demand sampling supports Poisson links only; got "
+                f"{spec[0]!r} (pre-sample demand and use episode_returns)")
+        tables.append(_poisson_cdf_table(float(spec[1])))
+    return tuple(tables)
+
+
+def _uniform24(shape):
+    """Uniform [0,1) f32 from the in-kernel hardware PRNG (24-bit mantissa;
+    Mosaic has no uint32->f32 cast, so go through a positive int32)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+    return pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * (2.0 ** -24)
+
+
+def _invert_poisson(u_row, table):
+    """demand = #{k : F(k) <= u} — exact CDF inversion, statically unrolled.
+
+    The comparison thresholds are compile-time constants, so each table entry
+    costs one vector compare + add on the VPU; K ~= lam + 6*sqrt(lam)."""
+    d = jnp.zeros_like(u_row)
+    for F in table:
+        if F == float("inf"):
+            break
+        d = d + (u_row >= F).astype(jnp.float32)
+    return d
+
+
+def _sample_demand_rows(n_rt, B, cdf_tables):
+    u = _uniform24((n_rt, B))
+    return [_invert_poisson(u[j, :], cdf_tables[j]) for j in range(n_rt)]
+
+
+def _episode_kernel_body_fully_fused(
+        T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
+        cdf_tables, seed_ref, X_ref, Y_ref, U_ref, RH_ref, rew_ref):
+    """Whole episode with BOTH streams generated on-core: uniform random
+    actions AND Poisson demand (exact CDF inversion against compile-time
+    tables). Zero per-period HBM traffic — the roofline run
+    (benchmarks/kernel_roofline.py) showed the XLA Poisson rejection sampler
+    alone costs ~11x the episode kernel at 1M envs, so sampling in-kernel is
+    the difference between ~71M and several hundred M steps/s.
+
+    Bit-exactness is pinned by sample_streams_debug: a kernel that replays
+    the identical PRNG consumption order (per period: action bits, then
+    demand bits) and dumps both streams, which fed to episode_returns must
+    reproduce this kernel's returns exactly (tests/test_pallas_fused.py)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    X = [X_ref[i, :] for i in range(n_main)]
+    Y = [Y_ref[i, :] for i in range(n_ro)]
+    U = [U_ref[i, :] for i in range(n_rt)]
+    RH = [RH_ref[r, :] for r in range(lt * n_ro)]
+    total = jnp.zeros_like(X[0])
+    one = jnp.ones_like(X[0])
+    B = X[0].shape[0]
+    scale = act_hi / float(1 << 24)
+    for t in range(num_steps):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro, B)), jnp.uint32)
+        u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+        acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
+        act = [acts[i, :] for i in range(n_ro)]
+        dem = _sample_demand_rows(n_rt, B, cdf_tables)
+        valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
+        X, Y, U, r_cur, profit = _step_math(
+            T, backlog, X, Y, U, RH, act, dem, valid)
+        RH = r_cur + RH[: (lt - 1) * n_ro]
+        total = total + (alpha ** t) * profit
+    rew_ref[0, :] = total
+
+
+def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, cdf_tables,
+                               seed_ref, acts_ref, dems_ref):
+    """Replays the fused kernel's exact PRNG consumption order and writes the
+    action/demand streams out (test/cross-check support)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    B = acts_ref.shape[1]
+    scale = act_hi / float(1 << 24)
+    for t in range(num_steps):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro, B)), jnp.uint32)
+        u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+        acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
+        for i in range(n_ro):
+            acts_ref[t * n_ro + i, :] = acts[i, :]
+        dem = _sample_demand_rows(n_rt, B, cdf_tables)
+        for j in range(n_rt):
+            dems_ref[t * n_rt + j, :] = dem[j]
+
+
+def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
+                                batch: int, num_steps: int = None,
+                                block: int = 1024, interpret: bool = False):
+    """Random-policy episode returns with NO pre-materialized streams: both
+    the uniform actions and the Poisson demand are sampled inside the kernel
+    (hardware PRNG + compile-time CDF inversion). Poisson retail links only;
+    raises NotImplementedError otherwise. Returns (batch,)."""
+    T = params.topology
+    n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
+    lt = max(T.lt_max, 1)
+    num_steps = params.num_periods if num_steps is None else num_steps
+    assert batch % block == 0, (batch, block)
+    cdf_tables = _topology_cdf_tables(T)
+
+    X, Y, U, RH = init_transposed(params, batch)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(_episode_kernel_body_fully_fused, T, params.backlog,
+                     n_main, n_ro, n_rt, lt, num_steps, params.alpha,
+                     float(act_hi), cdf_tables)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro)],
+        out_specs=spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, batch), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), X, Y, U, RH)
+    return out[0]
+
+
+def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
+                         batch: int, num_steps: int = None,
+                         block: int = 1024, interpret: bool = False):
+    """The exact action/demand streams episode_returns_fully_fused consumes
+    for ``seed`` — for pinning the fused kernel bit-exactly against
+    episode_returns / the XLA step chain. Returns (actions (num_steps, n_ro,
+    batch), demands (num_steps, n_rt, batch))."""
+    T = params.topology
+    n_ro, n_rt = T.n_reorder, T.n_retail
+    num_steps = params.num_periods if num_steps is None else num_steps
+    assert batch % block == 0, (batch, block)
+    cdf_tables = _topology_cdf_tables(T)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = partial(_streams_debug_kernel_body, n_ro, n_rt, num_steps,
+                     float(act_hi), cdf_tables)
+    acts, dems = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[spec(num_steps * n_ro), spec(num_steps * n_rt)],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_steps * n_ro, batch), jnp.float32),
+            jax.ShapeDtypeStruct((num_steps * n_rt, batch), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    return (acts.reshape(num_steps, n_ro, batch),
+            dems.reshape(num_steps, n_rt, batch))
+
+
 def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,
                  block: int = 2048, interpret: bool = False):
     """One fused period over a transposed batch.

@@ -1,1 +1,2 @@
-from or_gym_inventory_tpu.utils import checkpoint, profiling  # noqa: F401
+from or_gym_inventory_tpu.utils import (checkpoint, compile_cache,  # noqa: F401
+                                        profiling)

@@ -82,22 +82,16 @@ def random_episode_returns(params, key: jax.Array, batch: int,
                                     params.periods, 1.0)
     elif isinstance(params, net.NetInvParams):
         def pallas_path():
-            from or_gym_inventory_tpu.ops.pallas_net_step import (
-                episode_returns_random_policy)
+            # fully-fused: actions AND Poisson demand sampled on-core via
+            # compile-time CDF inversion (raises NotImplementedError for
+            # non-Poisson links, handled below)
+            from or_gym_inventory_tpu.ops.pallas_net_step import \
+                episode_returns_fully_fused
             T = params.topology
-            lam = jnp.asarray([s[1] if s[0] == "poisson" else 0.0
-                               for s in T.rt_demand], jnp.float32)
-            if any(s[0] != "poisson" for s in T.rt_demand):
-                raise NotImplementedError(
-                    "kernel path pre-samples Poisson demand only")
-            k1, k2 = jax.random.split(key)
-            dems = jax.random.poisson(
-                k1, lam[None, :, None],
-                (params.num_periods, T.n_retail, batch)).astype(jnp.float32)
-            seed = jax.random.randint(k2, (), 0, 2**31 - 1)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
             hi = float(T.order_cap_heuristic * 2)
-            return episode_returns_random_policy(params, dems, seed, hi,
-                                                 block=block)
+            return episode_returns_fully_fused(params, seed, hi, batch,
+                                               block=block)
 
         xla = lambda: _xla_fallback(net.ENV, params, key, batch,
                                     params.num_periods, 1.0)

@@ -1,0 +1,95 @@
+"""In-kernel Poisson demand sampling (fully-fused NetInvMgmt episode kernel).
+
+The sampler is exact CDF inversion: demand = #{k : F(k) <= u} against a
+per-retail-link table computed in float64 at trace time (lambda is static
+topology data). These tests pin the host-side table and the inversion math
+on CPU; the hardware-PRNG end-to-end pinning (dumped streams reproduce the
+fused kernel's returns through the pre-materialized kernel AND the XLA step
+chain) runs inside bench.py's cross-check on every TPU bench invocation and
+in the TPU-gated test below.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from or_gym_inventory_tpu.envs import net_inv_management as net
+from or_gym_inventory_tpu.ops import pallas_net_step as pns
+
+
+def _f64_cdf(lam, n):
+    k = np.arange(n)
+    # iterative pmf in f64 (same recurrence the table builder uses)
+    pmf = np.zeros(n)
+    pmf[0] = np.exp(-lam)
+    for i in range(1, n):
+        pmf[i] = pmf[i - 1] * lam / i
+    return np.cumsum(pmf)
+
+
+@pytest.mark.parametrize("lam", [0.5, 5.0, 20.0, 87.0, 300.0])
+def test_poisson_cdf_table_matches_f64(lam):
+    table = np.asarray(pns._poisson_cdf_table(lam))
+    want = _f64_cdf(lam, len(table))
+    np.testing.assert_allclose(table, want.astype(np.float32), rtol=0,
+                               atol=0)  # table IS the f32 rounding of f64
+    # truncated below the 24-bit uniform's resolution
+    assert 1.0 - want[-1] <= 2.0 ** -24
+    assert np.all(np.diff(table) >= 0)
+
+
+def test_poisson_cdf_table_zero_lam():
+    assert pns._poisson_cdf_table(0.0) == (float("inf"),)
+
+
+def test_invert_poisson_matches_searchsorted():
+    lam = 20.0
+    table = pns._poisson_cdf_table(lam)
+    tarr = np.asarray(table, np.float32)
+    rng = np.random.default_rng(0)
+    u = (rng.integers(0, 1 << 24, size=4096) * 2.0 ** -24).astype(np.float32)
+    got = np.asarray(pns._invert_poisson(jnp.asarray(u), table))
+    # demand = #{k : F(k) <= u} == index of first table entry > u
+    want = np.searchsorted(tarr, u, side="right").astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_invert_poisson_is_exact_inversion_pmf():
+    """Measure of u mapping to each k equals the pmf at the 24-bit uniform's
+    resolution: the count of representable u values landing on k is
+    (F(k)-F(k-1)) * 2^24 up to f32 rounding of the thresholds."""
+    lam = 5.0
+    table_f32 = np.asarray(pns._poisson_cdf_table(lam), np.float32)
+    # thresholds in units of 2^-24 (u >= F  <=>  u24 >= ceil(F * 2^24)),
+    # using the f32 thresholds the kernel actually compares against
+    t24 = np.ceil(table_f32.astype(np.float64) * (1 << 24)).astype(np.int64)
+    counts = np.diff(np.concatenate([[0], np.minimum(t24, 1 << 24),
+                                     [1 << 24]]))
+    pmf = np.diff(np.concatenate(
+        [[0.0], _f64_cdf(lam, len(table_f32)), [1.0]]))
+    np.testing.assert_allclose(counts / float(1 << 24), pmf, atol=2.0 ** -22)
+
+
+def test_nonpoisson_topology_raises():
+    import dataclasses
+
+    from or_gym_inventory_tpu.envs import topology as topo
+    T = topo.default_topology(10)
+    T2 = dataclasses.replace(T, rt_demand=(("user", (1.0,) * 10),))
+    with pytest.raises(NotImplementedError):
+        pns._topology_cdf_tables(T2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_fused_kernel_pinned_by_dumped_streams():
+    params = net.default_params(num_periods=10)
+    hi = float(params.topology.order_cap_heuristic * 2)
+    seed = jnp.asarray(7, jnp.int32)
+    B = 1024
+    acts, dems = pns.sample_streams_debug(params, seed, hi, B, block=512)
+    fused = np.asarray(pns.episode_returns_fully_fused(
+        params, seed, hi, B, block=512))
+    pre = np.asarray(pns.episode_returns(params, acts, dems, block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
