@@ -79,11 +79,11 @@ def _crosscheck_kernel(params):
     seed = jnp.asarray(2024, jnp.int32)
     actions, demands = jax.jit(
         pk.sample_streams_debug, static_argnames=("act_hi", "batch", "block")
-    )(params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=512)
+    )(params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=1024)
     fused_ret = np.asarray(jax.jit(
         pk.episode_returns_fully_fused,
         static_argnames=("act_hi", "batch", "block"))(
-            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=512))
+            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=1024))
 
     kernel_ret = jax.jit(pk.episode_returns, static_argnames="block")(
         params, actions, demands, block=512)
@@ -133,7 +133,7 @@ def _pallas_path(params):
     def run(key):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         return pk.episode_returns_fully_fused(
-            params, seed, hi, NUM_ENVS_PALLAS, block=1024).sum()
+            params, seed, hi, NUM_ENVS_PALLAS, block=2048).sum()
 
     return _time(run), NUM_ENVS_PALLAS
 

@@ -256,11 +256,6 @@ def _invert_poisson(u_row, table):
     return d
 
 
-def _sample_demand_rows(n_rt, B, cdf_tables):
-    u = _uniform24((n_rt, B))
-    return [_invert_poisson(u[j, :], cdf_tables[j]) for j in range(n_rt)]
-
-
 def _episode_kernel_body_fully_fused(
         T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
         cdf_tables, seed_ref, X_ref, Y_ref, U_ref, RH_ref, rew_ref):
@@ -271,54 +266,63 @@ def _episode_kernel_body_fully_fused(
     alone costs ~11x the episode kernel at 1M envs, so sampling in-kernel is
     the difference between ~71M and several hundred M steps/s.
 
+    Refs are (rows, sub, 128): the batch tile is pre-shaped to native
+    (8k, 128) f32 VPU tiles so every per-row vector op fills all sublanes —
+    measured 1.4x over the (rows, B) layout (tools/layout_probe.py).
+
     Bit-exactness is pinned by sample_streams_debug: a kernel that replays
     the identical PRNG consumption order (per period: action bits, then
     demand bits) and dumps both streams, which fed to episode_returns must
     reproduce this kernel's returns exactly (tests/test_pallas_fused.py)."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    X = [X_ref[i, :] for i in range(n_main)]
-    Y = [Y_ref[i, :] for i in range(n_ro)]
-    U = [U_ref[i, :] for i in range(n_rt)]
-    RH = [RH_ref[r, :] for r in range(lt * n_ro)]
+    X = [X_ref[i] for i in range(n_main)]
+    Y = [Y_ref[i] for i in range(n_ro)]
+    U = [U_ref[i] for i in range(n_rt)]
+    RH = [RH_ref[r] for r in range(lt * n_ro)]
     total = jnp.zeros_like(X[0])
     one = jnp.ones_like(X[0])
-    B = X[0].shape[0]
+    tile = X[0].shape
     scale = act_hi / float(1 << 24)
     for t in range(num_steps):
-        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro, B)), jnp.uint32)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro,) + tile),
+                             jnp.uint32)
         u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
         acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
-        act = [acts[i, :] for i in range(n_ro)]
-        dem = _sample_demand_rows(n_rt, B, cdf_tables)
+        act = [acts[i] for i in range(n_ro)]
+        u = _uniform24((n_rt,) + tile)
+        dem = [_invert_poisson(u[j], cdf_tables[j]) for j in range(n_rt)]
         valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
         X, Y, U, r_cur, profit = _step_math(
             T, backlog, X, Y, U, RH, act, dem, valid)
         RH = r_cur + RH[: (lt - 1) * n_ro]
         total = total + (alpha ** t) * profit
-    rew_ref[0, :] = total
+    rew_ref[0] = total
 
 
 def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, cdf_tables,
                                seed_ref, acts_ref, dems_ref):
     """Replays the fused kernel's exact PRNG consumption order and writes the
-    action/demand streams out (test/cross-check support)."""
+    action/demand streams out (test/cross-check support). Same (rows, sub,
+    128) layout as the fused kernel — the PRNG bit->lane assignment depends
+    on the requested shape, so both kernels must draw identical shapes."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    B = acts_ref.shape[1]
+    tile = acts_ref.shape[1:]
     scale = act_hi / float(1 << 24)
     for t in range(num_steps):
-        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro, B)), jnp.uint32)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro,) + tile),
+                             jnp.uint32)
         u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
         acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
         for i in range(n_ro):
-            acts_ref[t * n_ro + i, :] = acts[i, :]
-        dem = _sample_demand_rows(n_rt, B, cdf_tables)
+            acts_ref[t * n_ro + i] = acts[i]
+        u = _uniform24((n_rt,) + tile)
         for j in range(n_rt):
-            dems_ref[t * n_rt + j, :] = dem[j]
+            dems_ref[t * n_rt + j] = _invert_poisson(u[j], cdf_tables[j])
 
 
 def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
                                 batch: int, num_steps: int = None,
-                                block: int = 1024, interpret: bool = False):
+                                block: int = 2048, interpret: bool = False):
     """Random-policy episode returns with NO pre-materialized streams: both
     the uniform actions and the Poisson demand are sampled inside the kernel
     (hardware PRNG + compile-time CDF inversion). Poisson retail links only;
@@ -327,13 +331,15 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
     n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
     lt = max(T.lt_max, 1)
     num_steps = params.num_periods if num_steps is None else num_steps
-    assert batch % block == 0, (batch, block)
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
     cdf_tables = _topology_cdf_tables(T)
 
     X, Y, U, RH = init_transposed(params, batch)
+    shape3 = lambda rows: (rows, batch // 128, 128)
 
     def spec(rows):
-        return pl.BlockSpec((rows, block), lambda i: (0, i),
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_episode_kernel_body_fully_fused, T, params.backlog,
@@ -345,27 +351,32 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro)],
         out_specs=spec(1),
-        out_shape=jax.ShapeDtypeStruct((1, batch), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(shape3(1), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), X, Y, U, RH)
-    return out[0]
+    )(jnp.asarray(seed, jnp.int32).reshape(1), X.reshape(shape3(n_main)),
+      Y.reshape(shape3(n_ro)), U.reshape(shape3(n_rt)),
+      RH.reshape(shape3(lt * n_ro)))
+    return out.reshape(batch)
 
 
 def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
                          batch: int, num_steps: int = None,
-                         block: int = 1024, interpret: bool = False):
+                         block: int = 2048, interpret: bool = False):
     """The exact action/demand streams episode_returns_fully_fused consumes
     for ``seed`` — for pinning the fused kernel bit-exactly against
-    episode_returns / the XLA step chain. Returns (actions (num_steps, n_ro,
-    batch), demands (num_steps, n_rt, batch))."""
+    episode_returns / the XLA step chain. Must be called with the same
+    ``block`` as the fused kernel (PRNG consumption is per-tile). Returns
+    (actions (num_steps, n_ro, batch), demands (num_steps, n_rt, batch))."""
     T = params.topology
     n_ro, n_rt = T.n_reorder, T.n_retail
     num_steps = params.num_periods if num_steps is None else num_steps
-    assert batch % block == 0, (batch, block)
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
     cdf_tables = _topology_cdf_tables(T)
+    shape3 = lambda rows: (rows, batch // 128, 128)
 
     def spec(rows):
-        return pl.BlockSpec((rows, block), lambda i: (0, i),
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_streams_debug_kernel_body, n_ro, n_rt, num_steps,
@@ -376,8 +387,8 @@ def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[spec(num_steps * n_ro), spec(num_steps * n_rt)],
         out_shape=[
-            jax.ShapeDtypeStruct((num_steps * n_ro, batch), jnp.float32),
-            jax.ShapeDtypeStruct((num_steps * n_rt, batch), jnp.float32),
+            jax.ShapeDtypeStruct(shape3(num_steps * n_ro), jnp.float32),
+            jax.ShapeDtypeStruct(shape3(num_steps * n_rt), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1))

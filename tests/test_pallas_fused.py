@@ -88,8 +88,8 @@ def test_fused_kernel_pinned_by_dumped_streams():
     hi = float(params.topology.order_cap_heuristic * 2)
     seed = jnp.asarray(7, jnp.int32)
     B = 1024
-    acts, dems = pns.sample_streams_debug(params, seed, hi, B, block=512)
+    acts, dems = pns.sample_streams_debug(params, seed, hi, B, block=1024)
     fused = np.asarray(pns.episode_returns_fully_fused(
-        params, seed, hi, B, block=512))
+        params, seed, hi, B, block=1024))
     pre = np.asarray(pns.episode_returns(params, acts, dems, block=512))
     np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
