@@ -89,6 +89,87 @@ def make_demand_sampler(dist: int, dist_param: Dict, user_D=None):
     raise ValueError(f"Invalid distribution choice: {dist}")
 
 
+# ------------------------------------------------- compile-time inversion
+
+def discrete_cdf_table(dist: int, dist_param: Dict,
+                       granularity: float = 2.0 ** -24):
+    """Host-side CDF thresholds for compile-time inversion sampling.
+
+    Returns ``(base, thresholds)`` such that ``demand = base + #{F in
+    thresholds : F <= u}`` for u ~ Uniform[0,1) is an EXACT draw from the
+    distribution, up to the uniform's resolution (``granularity`` — Pallas
+    kernels invert a 24-bit hardware-PRNG uniform). Thresholds are computed
+    in float64 and returned as Python floats pre-rounded to f32 (the dtype
+    the kernel compares in), to be baked into a kernel as constants — every
+    reference ``dist`` mode has static parameters
+    (inventory_management.py:169-184), so the table is trace-time data.
+
+    Supports POISSON / BINOMIAL / RANDINT / GEOMETRIC. USER mode is
+    deterministic per period (no sampling) and raises here.
+    """
+    import numpy as np
+
+    def _truncate(pmf_iter, base):
+        # the last stored threshold is the first with tail mass below the
+        # uniform's resolution (same convention as
+        # ops/pallas_net_step._poisson_cdf_table)
+        F = 0.0
+        table = []
+        for p in pmf_iter:
+            F += p
+            table.append(F)
+            if 1.0 - F <= granularity or len(table) >= 4096:
+                break
+        return base, tuple(float(np.float32(v)) for v in table)
+
+    if dist == POISSON:
+        lam = float(dist_param["mu"])
+        if lam <= 0.0:
+            return 0, ()
+
+        def pmf():
+            p = float(np.exp(-lam))
+            k = 0
+            while True:
+                yield p
+                k += 1
+                p *= lam / k
+
+        return _truncate(pmf(), 0)
+    if dist == BINOMIAL:
+        n, p = int(dist_param["n"]), float(dist_param["p"])
+        if p <= 0.0:
+            return 0, ()
+        if p >= 1.0:
+            return n, ()
+
+        def pmf():
+            q = float(np.exp(n * np.log1p(-p)))  # (1-p)^n, log-safe
+            r = p / (1.0 - p)
+            for k in range(n + 1):
+                yield q
+                q *= r * (n - k) / (k + 1.0)
+
+        return _truncate(pmf(), 0)
+    if dist == RANDINT:
+        low, high = int(dist_param["low"]), int(dist_param["high"])
+        span = high - low + 1
+        return low, tuple(float(np.float32((k + 1) / span))
+                          for k in range(span - 1))
+    if dist == GEOMETRIC:
+        p = float(dist_param["p"])
+
+        def pmf():
+            q = p  # P(X=1); support {1, 2, ...} per numpy Generator.geometric
+            while True:
+                yield q
+                q *= (1.0 - p)
+
+        return _truncate(pmf(), 1)
+    raise ValueError(f"No inversion table for dist={dist} "
+                     "(USER mode is deterministic per period)")
+
+
 # ------------------------------------------------------------------ quantile
 
 def poisson_cdf(k: jax.Array, mu) -> jax.Array:

@@ -271,3 +271,125 @@ def episode_returns_im_random(params: InvManagementParams, demands, seed,
     """Random-policy episode returns; inclusive uniform-int actions in
     [0, c_i] sampled in-kernel."""
     return _im_call(params, (demands,), seed, block, interpret)
+
+
+# ------------------------- fully-fused InvManagement (in-kernel demand too)
+
+def _invert_discrete_i32(u, base, table):
+    """demand = base + #{F in table : F <= u} — exact CDF inversion against
+    compile-time thresholds (ops/distributions.discrete_cdf_table)."""
+    d = jnp.zeros(u.shape, jnp.int32)
+    for F in table:
+        d = d + (u >= F).astype(jnp.int32)
+    return d + base if base else d
+
+
+def _im_demand_spec(params: InvManagementParams):
+    """(base, table) or, for USER mode, the per-period constant array."""
+    from or_gym_inventory_tpu.ops import distributions as dist
+    if params.dist == dist.USER:
+        return None  # deterministic: user_D[t] baked per period
+    return dist.discrete_cdf_table(params.dist, params.dist_param_dict)
+
+
+def _im_sample_actions(params, tile):
+    u = _uniform01((params.m1,) + tile)
+    return [jnp.minimum((u[i] * float(params.c[i] + 1)).astype(jnp.int32),
+                        jnp.int32(params.c[i])) for i in range(params.m1)]
+
+
+def _im_sample_demand(params, tile, t, spec):
+    if spec is None:  # USER: deterministic per period, no PRNG draw
+        v = int(params.user_D[t]) if t < len(params.user_D) else 0
+        return jnp.full(tile, v, jnp.int32)
+    base, table = spec
+    return _invert_discrete_i32(_uniform01(tile), base, table)
+
+
+def _im_fused_kernel(params: InvManagementParams, num_steps, spec,
+                     seed_ref, rew_ref):
+    """Whole episode with actions AND demand sampled on-core; (rows, sub,
+    128) native-tile layout (see ops/pallas_net_step.py — same design,
+    measured there at 14.7x the pre-sampled round-1 path combined with the
+    in-kernel demand)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    m1, lt = params.m1, params.lt_max
+    tile = rew_ref.shape[1:]
+    zero = jnp.zeros(tile, jnp.int32)
+    inv = [jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
+    bkl = [zero for _ in range(params.num_stages)]
+    RH = [zero for _ in range(lt * m1)]
+    total = jnp.zeros(tile, jnp.float32)
+    for t in range(num_steps):
+        act = _im_sample_actions(params, tile)
+        d = _im_sample_demand(params, tile, t, spec)
+        inv, bkl, RH, _, profit = _im_step_math(
+            params, t, inv, bkl, RH, act, d)
+        total = total + (params.alpha ** t) * profit
+    rew_ref[0] = total
+
+
+def _im_streams_debug_kernel(params: InvManagementParams, num_steps, spec,
+                             seed_ref, acts_ref, dems_ref):
+    """Replays _im_fused_kernel's exact PRNG consumption order (per period:
+    action draws then demand draw) and dumps both streams for pinning."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    m1 = params.m1
+    tile = dems_ref.shape[1:]
+    for t in range(num_steps):
+        act = _im_sample_actions(params, tile)
+        for i in range(m1):
+            acts_ref[t * m1 + i] = act[i]
+        dems_ref[t] = _im_sample_demand(params, tile, t, spec)
+
+
+def episode_returns_im_fused(params: InvManagementParams, seed,
+                             batch: int, block: int = 2048,
+                             interpret: bool = False):
+    """Random-policy episode returns with NO pre-materialized streams —
+    uniform-int actions AND demand (all four stochastic reference dist
+    modes, via exact compile-time CDF inversion; USER mode baked as
+    per-period constants) sampled inside the kernel. Returns (batch,)."""
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    spec = _im_demand_spec(params)
+    kernel = partial(_im_fused_kernel, params, params.periods, spec)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, sub, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, batch // 128, 128), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    return out.reshape(batch)
+
+
+def sample_streams_debug_im(params: InvManagementParams, seed, batch: int,
+                            block: int = 2048, interpret: bool = False):
+    """The exact action/demand streams episode_returns_im_fused consumes for
+    ``seed`` (same ``block`` required — PRNG consumption is per-tile).
+    Returns (actions (T, m1, batch) i32, demands (T, batch) i32)."""
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    T, m1 = params.periods, params.m1
+    spec = _im_demand_spec(params)
+    kernel = partial(_im_streams_debug_kernel, params, T, spec)
+
+    def ospec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    acts, dems = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[ospec(T * m1), ospec(T)],
+        out_shape=[
+            jax.ShapeDtypeStruct((T * m1, batch // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T, batch // 128, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    return (acts.reshape(T, m1, batch), dems.reshape(T, batch))

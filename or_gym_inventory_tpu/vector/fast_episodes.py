@@ -64,18 +64,14 @@ def random_episode_returns(params, key: jax.Array, batch: int,
                                     params.step_limit, params.gamma)
     elif isinstance(params, im.InvManagementParams):
         def pallas_path():
-            from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
-                episode_returns_im_random)
-            sampler_mu = dict(params.dist_param).get("mu", 20)
-            if params.dist != 1:
-                raise NotImplementedError(
-                    "kernel path pre-samples Poisson demand only")
-            k1, k2 = jax.random.split(key)
-            dems = jax.random.poisson(
-                k1, float(sampler_mu), (params.periods, batch)
-            ).astype(jnp.int32)
-            seed = jax.random.randint(k2, (), 0, 2**31 - 1)
-            return episode_returns_im_random(params, dems, seed, block=block)
+            # fully-fused: actions AND demand sampled on-core (exact CDF
+            # inversion for all four stochastic dist modes; USER baked as
+            # per-period constants)
+            from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+                episode_returns_im_fused
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            return episode_returns_im_fused(params, seed, batch,
+                                            block=max(block, 1024))
 
         # step rewards are already alpha^t-discounted (reference semantics)
         xla = lambda: _xla_fallback(im.ENV, params, key, batch,

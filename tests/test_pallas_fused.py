@@ -81,6 +81,81 @@ def test_nonpoisson_topology_raises():
         pns._topology_cdf_tables(T2)
 
 
+class TestDiscreteCdfTable:
+    """ops/distributions.discrete_cdf_table — the generic inversion tables
+    behind the fused InvManagement kernel (all four stochastic dist modes
+    have static params: inventory_management.py:169-184)."""
+
+    def test_poisson_matches_net_table(self):
+        from or_gym_inventory_tpu.ops import distributions as dist
+        base, table = dist.discrete_cdf_table(dist.POISSON, {"mu": 20.0})
+        assert base == 0
+        np.testing.assert_array_equal(
+            np.asarray(table), np.asarray(pns._poisson_cdf_table(20.0)))
+
+    def test_binomial_exact(self):
+        from math import comb
+
+        from or_gym_inventory_tpu.ops import distributions as dist
+        n, p = 40, 0.3
+        base, table = dist.discrete_cdf_table(dist.BINOMIAL,
+                                              {"n": n, "p": p})
+        assert base == 0
+        want = np.cumsum([comb(n, k) * p ** k * (1 - p) ** (n - k)
+                          for k in range(n + 1)])
+        got = np.asarray(table, np.float64)
+        np.testing.assert_allclose(got, want[: len(table)], rtol=2e-6)
+        assert 1.0 - want[len(table) - 1] <= 2.0 ** -24 or \
+            len(table) == n + 1
+
+    def test_binomial_degenerate(self):
+        from or_gym_inventory_tpu.ops import distributions as dist
+        assert dist.discrete_cdf_table(dist.BINOMIAL,
+                                       {"n": 7, "p": 1.0}) == (7, ())
+        assert dist.discrete_cdf_table(dist.BINOMIAL,
+                                       {"n": 7, "p": 0.0}) == (0, ())
+
+    def test_randint_uniform(self):
+        from or_gym_inventory_tpu.ops import distributions as dist
+        base, table = dist.discrete_cdf_table(dist.RANDINT,
+                                              {"low": 3, "high": 10})
+        assert base == 3 and len(table) == 7
+        # inversion of an exhaustive uniform grid hits each value equally
+        u = (np.arange(1 << 12) / float(1 << 12)).astype(np.float32)
+        d = base + np.searchsorted(np.asarray(table, np.float32), u, "right")
+        counts = np.bincount(d - 3, minlength=8)
+        assert counts.min() == counts.max() == (1 << 12) // 8
+
+    def test_geometric_support_starts_at_one(self):
+        from or_gym_inventory_tpu.ops import distributions as dist
+        p = 0.25
+        base, table = dist.discrete_cdf_table(dist.GEOMETRIC, {"p": p})
+        assert base == 1
+        want = 1.0 - (1.0 - p) ** np.arange(1, len(table) + 1)
+        np.testing.assert_allclose(np.asarray(table, np.float64), want,
+                                   rtol=2e-6)
+
+    def test_user_mode_raises(self):
+        from or_gym_inventory_tpu.ops import distributions as dist
+        with pytest.raises(ValueError):
+            dist.discrete_cdf_table(dist.USER, {})
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_im_fused_kernel_pinned_by_dumped_streams():
+    from or_gym_inventory_tpu.envs import inv_management as im
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = im.default_params(periods=12)
+    seed = jnp.asarray(11, jnp.int32)
+    B = 1024
+    acts, dems = pek.sample_streams_debug_im(params, seed, B, block=1024)
+    fused = np.asarray(pek.episode_returns_im_fused(params, seed, B,
+                                                    block=1024))
+    pre = np.asarray(pek.episode_returns_im(params, acts, dems, block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
 def test_fused_kernel_pinned_by_dumped_streams():
