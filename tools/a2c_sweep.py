@@ -55,13 +55,12 @@ def main():
         train_s = time.time() - t0
         res = evaluate_agent(agent, env_factory, 30, seed_offset=2000,
                              env_config=EVAL_CONFIG)
-        s = res["summary"]
+        s = res["summary"]  # per-episode rows (TotalReward etc.)
         print(json.dumps({
             "candidate": name,
-            "avg_reward": float(s["AvgReward"].iloc[0]),
-            "median_reward": float(s["MedianReward"].iloc[0]),
-            "service": float(s["AvgServiceLevel"].iloc[0])
-            if "AvgServiceLevel" in s else -1.0,
+            "avg_reward": float(s["TotalReward"].mean()),
+            "median_reward": float(s["TotalReward"].median()),
+            "service": float(s["AvgServiceLevel"].mean()),
             "train_s": round(train_s, 1),
         }), flush=True)
 
