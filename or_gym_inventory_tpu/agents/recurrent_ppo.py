@@ -344,6 +344,16 @@ class RecurrentPPOAgent(PPOAgent):
         self.training_log = metrics
         self.training_time = time.time() - start
         self.save(ckpt)
+        if metrics:  # same *_train_log.csv the learning-curve plot reads
+            os.makedirs(self.log_dir, exist_ok=True)
+            log_path = os.path.join(self.log_dir,
+                                    f"{self.name}_train_log.csv")
+            import csv
+            with open(log_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(metrics.keys()))
+                w.writeheader()
+                for i in range(len(metrics["update"])):
+                    w.writerow({k: metrics[k][i] for k in metrics})
         print(f"Training for {self.name} finished in {self.training_time:.2f}s")
 
     def load(self, path: str):

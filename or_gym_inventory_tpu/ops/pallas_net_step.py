@@ -546,8 +546,13 @@ def rollout_transposed(params: NetInvParams, key: jax.Array, batch: int,
                                         minval=0.0, maxval=hi)
         else:
             action = jnp.full((T.n_reorder, batch), action_value)
-        lam = jnp.asarray([spec[1] if spec[0] == "poisson" else 0.0
-                           for spec in T.rt_demand], jnp.float32)
+        if any(spec[0] != "poisson" for spec in T.rt_demand):
+            # mirror fast_episodes/bench: refuse rather than silently
+            # benchmark zero demand for an unrecognized spec
+            raise NotImplementedError(
+                f"rollout_transposed pre-samples Poisson demand only; "
+                f"topology has {[s[0] for s in T.rt_demand]}")
+        lam = jnp.asarray([spec[1] for spec in T.rt_demand], jnp.float32)
         demand = jax.random.poisson(dkey, lam[:, None],
                                     (T.n_retail, batch)).astype(jnp.float32)
         X, Y, U, RH, rew = batched_step(params, X, Y, U, RH, action, demand,
