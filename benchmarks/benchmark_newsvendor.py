@@ -59,6 +59,13 @@ if __name__ == "__main__":
         ("TD3", TD3Agent(nv.ENV, params_factory, config=OFF_CFG, **rl)),
         ("A2C", A2CAgent(nv.ENV, params_factory,
                          config=A2CConfig(), **rl)),
+        # minibatched single-pass A2C (tools/a2c_sweep4.py winner): 32
+        # gradient steps per batch with MC returns — profitable where the
+        # SB3-default shape converges to order-nothing
+        ("A2C_MB32", A2CAgent(nv.ENV, params_factory, name="A2C_MB32",
+                              config=A2CConfig(num_envs=256, rollout_steps=50,
+                                               num_minibatches=32,
+                                               updates_per_call=16), **rl)),
     ]
     run_benchmark(ENV_NAME_SHORT, agents, ad.NewsvendorEnv, ENV_CONFIG_EVAL,
                   N_EVAL_EPISODES, SEED_OFFSET, RL_TRAINING_TIMESTEPS,

@@ -20,15 +20,20 @@ def A2CConfig(num_envs: int = 256, rollout_steps: int = 8, lr: float = 7e-4,
               max_grad_norm: float = 0.5,
               pi_arch: Tuple[int, ...] = (64, 64),
               vf_arch: Tuple[int, ...] = (64, 64),
-              normalize_obs: bool = True, **kw) -> PPOConfig:
-    """SB3-A2C-shaped defaults expressed as a PPOConfig."""
-    return PPOConfig(
+              normalize_obs: bool = True, optimizer: str = "rmsprop",
+              **kw) -> PPOConfig:
+    """SB3-A2C-shaped defaults expressed as a PPOConfig. Any PPOConfig
+    field may be overridden through ``kw`` (incl. the A2C-shape defaults
+    below, e.g. ``num_minibatches=8`` for minibatched single-pass A2C)."""
+    fields = dict(
         num_envs=num_envs, rollout_steps=rollout_steps, lr=lr, gamma=gamma,
         gae_lambda=gae_lambda, clip_eps=10.0,  # effectively unclipped
         update_epochs=1, num_minibatches=1, ent_coef=ent_coef,
         vf_coef=vf_coef, max_grad_norm=max_grad_norm, pi_arch=pi_arch,
         vf_arch=vf_arch, anneal_lr=False, normalize_obs=normalize_obs,
-        optimizer="rmsprop", **kw)
+        optimizer=optimizer)
+    fields.update(kw)
+    return PPOConfig(**fields)
 
 
 class A2CAgent(PPOAgent):

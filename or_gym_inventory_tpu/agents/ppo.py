@@ -60,6 +60,12 @@ class PPOConfig:
     # default here
     normalize_reward: bool = struct.field(pytree_node=False, default=True)
     optimizer: str = struct.field(pytree_node=False, default="adam")
+    # >1 runs that many updates per device call (lax.scan over the update),
+    # amortizing the per-call dispatch floor — decisive for SB3-shaped
+    # configs (tiny batch, tens of thousands of updates). Metrics still
+    # come back per update; progress/eval callbacks fire at chunk
+    # boundaries, so keep eval_every_updates a multiple of this.
+    updates_per_call: int = struct.field(pytree_node=False, default=1)
 
     def num_updates(self, total_timesteps: int) -> int:
         return max(1, total_timesteps // (self.num_envs * self.rollout_steps))
@@ -369,17 +375,44 @@ def train(env: Environment, env_params, cfg: PPOConfig, key: jax.Array,
         update_jit = jax.jit(update_sm)
 
     metrics_log = []
-    for i in range(total_updates):
-        key, ukey = jax.random.split(key)
-        ukeys = ukey if mesh is None else jax.random.split(
-            ukey, mesh.devices.size)
-        state, metrics = update_jit(state, ukeys)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["update"] = i + 1
-        metrics["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
-        metrics_log.append(metrics)
-        if progress is not None:
-            progress(metrics, state)
+    chunk = max(1, min(cfg.updates_per_call, total_updates))
+    if chunk > 1:
+        # scan `chunk` updates inside one device program; one host
+        # round-trip per chunk instead of per update
+        base = update if mesh is None else update_sm  # noqa: F821
+        chunk_jit = jax.jit(lambda st, ks: jax.lax.scan(base, st, ks))
+        i = 0
+        while i < total_updates:
+            n = min(chunk, total_updates - i)
+            key, ukey = jax.random.split(key)
+            if mesh is None:
+                keys = jax.random.split(ukey, n)
+            else:
+                keys = jax.random.split(ukey, n * mesh.devices.size)
+                # old-style keys carry a trailing (2,) uint32 dim; keep it
+                keys = keys.reshape(n, mesh.devices.size, *keys.shape[1:])
+            state, ms = chunk_jit(state, keys)
+            ms = {k: np.asarray(v) for k, v in ms.items()}
+            for j in range(n):
+                m = {k: float(ms[k][j]) for k in ms}
+                m["update"] = i + j + 1
+                m["timesteps"] = (i + j + 1) * cfg.num_envs * cfg.rollout_steps
+                metrics_log.append(m)
+            i += n
+            if progress is not None:
+                progress(metrics_log[-1], state)
+    else:
+        for i in range(total_updates):
+            key, ukey = jax.random.split(key)
+            ukeys = ukey if mesh is None else jax.random.split(
+                ukey, mesh.devices.size)
+            state, metrics = update_jit(state, ukeys)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["update"] = i + 1
+            metrics["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
+            metrics_log.append(metrics)
+            if progress is not None:
+                progress(metrics, state)
     stacked = {k: np.array([m[k] for m in metrics_log])
                for k in metrics_log[0]} if metrics_log else {}
     return state, stacked

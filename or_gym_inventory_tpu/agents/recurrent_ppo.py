@@ -300,17 +300,41 @@ def train(env: Environment, env_params, cfg: RecurrentPPOConfig,
         update_jit = jax.jit(update_sm)
 
     metrics_log = []
-    for i in range(total_updates):
-        key, ukey = jax.random.split(key)
-        if mesh is not None:
-            ukey = jax.random.split(ukey, mesh.devices.size)
-        state, metrics = update_jit(state, ukey)
-        m = {k: float(v) for k, v in metrics.items()}
-        m["update"] = i + 1
-        m["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
-        metrics_log.append(m)
-        if progress:
-            progress(m, state)
+    chunk = max(1, min(cfg.updates_per_call, total_updates))
+    if chunk > 1:
+        # one device program per `chunk` updates (see agents/ppo.train)
+        base = update if mesh is None else update_sm  # noqa: F821
+        chunk_jit = jax.jit(lambda st, ks: jax.lax.scan(base, st, ks))
+        i = 0
+        while i < total_updates:
+            n = min(chunk, total_updates - i)
+            key, ukey = jax.random.split(key)
+            keys = jax.random.split(
+                ukey, n if mesh is None else n * mesh.devices.size)
+            if mesh is not None:
+                keys = keys.reshape(n, mesh.devices.size, *keys.shape[1:])
+            state, ms = chunk_jit(state, keys)
+            ms = {k: np.asarray(v) for k, v in ms.items()}
+            for j in range(n):
+                m = {k: float(ms[k][j]) for k in ms}
+                m["update"] = i + j + 1
+                m["timesteps"] = (i + j + 1) * cfg.num_envs * cfg.rollout_steps
+                metrics_log.append(m)
+            i += n
+            if progress:
+                progress(metrics_log[-1], state)
+    else:
+        for i in range(total_updates):
+            key, ukey = jax.random.split(key)
+            if mesh is not None:
+                ukey = jax.random.split(ukey, mesh.devices.size)
+            state, metrics = update_jit(state, ukey)
+            m = {k: float(v) for k, v in metrics.items()}
+            m["update"] = i + 1
+            m["timesteps"] = (i + 1) * cfg.num_envs * cfg.rollout_steps
+            metrics_log.append(m)
+            if progress:
+                progress(m, state)
     stacked = {k: np.array([mm[k] for mm in metrics_log])
                for k in metrics_log[0]} if metrics_log else {}
     return state, eval_episodes, stacked

@@ -83,3 +83,31 @@ def test_ppo_agent_save_load_roundtrip(tmp_path):
                           log_dir=str(tmp_path), seed=1)
     agent3.train({"step_limit": 8}, total_timesteps=16 * 8 * 2)
     assert agent3.training_time == 0.0
+
+
+def test_ppo_chunked_updates_match_count():
+    """updates_per_call>1 scans updates on device; metrics still arrive per
+    update and the update counter advances identically (incl. a ragged
+    final chunk: 5 updates in chunks of 2)."""
+    cfg = TINY.replace(updates_per_call=2)
+    params = nv.default_params(step_limit=8)
+    state, metrics = ppo.train(nv.ENV, params, cfg, jax.random.PRNGKey(0),
+                               total_timesteps=16 * 8 * 5)
+    assert int(state.update_idx) == 5
+    assert list(metrics["update"]) == [1, 2, 3, 4, 5]
+    assert np.isfinite(metrics["pg_loss"]).all()
+    assert metrics["timesteps"][-1] == 16 * 8 * 5
+
+
+def test_ppo_chunked_sharded():
+    mesh = pmesh.make_mesh()
+    cfg = TINY.replace(updates_per_call=2)
+    params = nv.default_params(step_limit=8)
+    state, metrics = ppo.train(nv.ENV, params, cfg, jax.random.PRNGKey(0),
+                               total_timesteps=16 * 8 * 4, mesh=mesh)
+    assert len(metrics["update"]) == 4
+    assert np.isfinite(metrics["pg_loss"]).all()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)

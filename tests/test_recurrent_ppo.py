@@ -79,3 +79,16 @@ def test_a2c_lstm_agent_trains(tmp_path):
     obs, _ = env.reset(seed=0)
     a = agent.get_action(obs, env)
     assert a.shape == (1,) and np.isfinite(a).all()
+
+
+def test_recurrent_ppo_chunked_updates():
+    """updates_per_call>1 scans updates on device (ragged final chunk)."""
+    import numpy as np
+    cfg = rppo.RecurrentPPOConfig(
+        num_envs=8, rollout_steps=8, num_minibatches=2, update_epochs=1,
+        hidden=16, encoder=(16,), updates_per_call=2)
+    params = nv.default_params(step_limit=8)
+    state, _, metrics = rppo.train(nv.ENV, params, cfg, jax.random.PRNGKey(0),
+                                   total_timesteps=8 * 8 * 3)
+    assert list(metrics["update"]) == [1, 2, 3]
+    assert np.isfinite(metrics["pg_loss"]).all()

@@ -30,15 +30,19 @@ EVAL_CONFIG = {
 }
 
 CANDIDATES = {
-    # SB3 shape: 16 envs x 5 steps = 80/update -> 50k updates at 4M
-    "sb3shape_r5e16": A2CConfig(num_envs=16, rollout_steps=5),
+    # SB3 shape: 16 envs x 5 steps = 80/update -> 50k updates at 4M.
+    # updates_per_call scans updates on-device — without it the 50k
+    # host round-trips take ~30+ min/candidate on the relayed chip.
+    "sb3shape_r5e16": A2CConfig(num_envs=16, rollout_steps=5,
+                                updates_per_call=500),
     # intermediate: 64 envs x 8 -> ~8k updates
-    "r8e64": A2CConfig(num_envs=64, rollout_steps=8),
+    "r8e64": A2CConfig(num_envs=64, rollout_steps=8, updates_per_call=250),
     # Adam instead of RMSprop, PPO-ish shape but still 1-pass no-clip
     "adam_lam95_r50": A2CConfig(num_envs=256, rollout_steps=50,
-                                gae_lambda=0.95, lr=3e-4, optimizer="adam"),
+                                gae_lambda=0.95, lr=3e-4, optimizer="adam",
+                                updates_per_call=16),
     "adam_sb3shape": A2CConfig(num_envs=16, rollout_steps=5, lr=3e-4,
-                               optimizer="adam"),
+                               optimizer="adam", updates_per_call=500),
 }
 
 
