@@ -58,6 +58,12 @@ def build_agents():
         ("SAC", SACAgent(E, pf, config=OFF_CFG, **rl)),
         ("TD3", TD3Agent(E, pf, config=OFF_CFG, **rl)),
         ("A2C", A2CAgent(E, pf, config=A2CConfig(), **rl)),
+        # minibatched single-pass A2C (tools/a2c_sweep4.py recipe): fixes
+        # the default shape's saturated-corner collapse on this env too
+        ("A2C_MB32", A2CAgent(E, pf, name="A2C_MB32",
+                              config=A2CConfig(num_envs=256, rollout_steps=50,
+                                               num_minibatches=32,
+                                               updates_per_call=16), **rl)),
         ("DDPG", DDPGAgent(E, pf, config=OFF_CFG, **rl)),
         ("PPO_LargeBuffer", PPOAgent(E, pf, name="PPO_LargeBuffer",
                                      config=PPO_CFG.replace(rollout_steps=100), **rl)),

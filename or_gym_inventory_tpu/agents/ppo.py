@@ -537,7 +537,16 @@ class PPOAgent(BaseAgent):
                 if mean > best["reward"]:
                     best.update(reward=mean, params=st.params, rms=st.rms)
 
-        state, metrics = train(self.env, self.env_params, self.config, key,
+        cfg = self.config
+        if progress is not None and cfg.updates_per_call > 1:
+            # chunked training fires progress only at chunk boundaries; a
+            # chunk size that doesn't divide the eval interval would make
+            # the periodic eval never trigger — clamp to the gcd
+            import math
+            aligned = math.gcd(cfg.updates_per_call, self.eval_every_updates)
+            if aligned != cfg.updates_per_call:
+                cfg = cfg.replace(updates_per_call=aligned)
+        state, metrics = train(self.env, self.env_params, cfg, key,
                                total_timesteps, mesh=self.mesh,
                                progress=progress)
         if best["params"] is not None:

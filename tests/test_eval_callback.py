@@ -23,3 +23,26 @@ def test_best_model_retention(tmp_path):
         (agent.train_state.params, agent.train_state.rms),
         jax.random.PRNGKey(0), 8)
     assert np.isfinite(np.asarray(totals)).all()
+
+
+def test_eval_callback_fires_with_misaligned_chunking(tmp_path):
+    """updates_per_call that doesn't divide eval_every_updates is clamped to
+    their gcd so the periodic best-model eval still fires."""
+    import jax
+    import numpy as np
+    from or_gym_inventory_tpu.agents import ppo
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from functools import partial
+
+    cfg = ppo.PPOConfig(num_envs=8, rollout_steps=8, num_minibatches=2,
+                        update_epochs=1, pi_arch=(16,), vf_arch=(16,),
+                        updates_per_call=3)  # gcd(3, 2) = 1 -> per-update
+    agent = ppo.PPOAgent(nv.ENV, partial(nv.default_params, step_limit=8),
+                         name="chunk_eval", config=cfg,
+                         model_dir=str(tmp_path), log_dir=str(tmp_path),
+                         eval_every_updates=2, eval_episodes=4)
+    agent.train({"step_limit": 8}, total_timesteps=8 * 8 * 4)
+    # 4 updates, eval at 2 and 4: best-model retention must have engaged
+    assert agent.train_state is not None
+    # config object itself must be untouched (clamping is call-local)
+    assert agent.config.updates_per_call == 3
