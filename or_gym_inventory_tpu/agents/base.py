@@ -14,11 +14,31 @@ evaluation (compat path).
 
 from __future__ import annotations
 
+import json
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def write_ckpt_meta(ckpt_path: str, trained_timesteps: int) -> None:
+    """Record the training budget next to a checkpoint. The skip-retrain
+    shortcut must only fire when the stored model was trained for at least
+    the requested budget (reference SB3AgentWrapper checks _total_timesteps,
+    benchmark_InvManagementBacklogEnv.py:243-250) — without this a
+    small-budget checkpoint silently poisons a later full-budget run."""
+    with open(ckpt_path + ".meta.json", "w") as f:
+        json.dump({"trained_timesteps": int(trained_timesteps)}, f)
+
+
+def ckpt_trained_timesteps(ckpt_path: str) -> int:
+    """Budget recorded at save time; 0 (always retrain) when absent."""
+    try:
+        with open(ckpt_path + ".meta.json") as f:
+            return int(json.load(f).get("trained_timesteps", 0))
+    except (OSError, ValueError):
+        return 0
 
 
 class BaseAgent:

@@ -35,7 +35,9 @@ import optax
 from flax import serialization, struct
 
 from or_gym_inventory_tpu.agents import networks
-from or_gym_inventory_tpu.agents.base import BaseAgent
+from or_gym_inventory_tpu.agents.base import (BaseAgent,
+                                              ckpt_trained_timesteps,
+                                              write_ckpt_meta)
 from or_gym_inventory_tpu.agents.ppo import RunningMeanStd
 from or_gym_inventory_tpu.envs.base import Environment
 from or_gym_inventory_tpu.vector import vecenv
@@ -56,6 +58,13 @@ class OffPolicyConfig:
     target_noise: float = struct.field(pytree_node=False, default=0.2)
     noise_clip: float = struct.field(pytree_node=False, default=0.5)
     explore_noise: float = struct.field(pytree_node=False, default=0.1)
+    # DDPG/TD3 deterministic actors: penalty on the pre-tanh mean magnitude
+    # in the actor loss. The actor gradient carries a (1 - tanh^2) factor,
+    # so once the mean saturates the policy is stuck at an action-space
+    # corner no matter what the critics learn; a small quadratic penalty on
+    # the excess over |mean|>1 keeps the actor in the responsive region.
+    # (SAC's stochastic actor self-regularizes via the entropy term.)
+    pretanh_penalty: float = struct.field(pytree_node=False, default=1e-3)
     n_step: int = struct.field(pytree_node=False, default=1)
     pi_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
     q_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
@@ -372,7 +381,14 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
                     return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
                 mean, _ = actor.apply(ap, nob)
                 q1, _ = twin_q.apply(q_params, nob, jnp.tanh(mean))
-                return -q1.mean(), jnp.zeros(())
+                # penalize only the saturating excess (|mean| > 1); inside
+                # [-1, 1] the tanh is responsive and the penalty is 0.
+                # Scaled by |Q| so the pull-back survives any reward scale
+                # (newsvendor Q ~ 1e5, InvManagement Q ~ 1e3).
+                sat = jnp.maximum(jnp.abs(mean) - 1.0, 0.0)
+                qscale = jax.lax.stop_gradient(jnp.abs(q1).mean()) + 1.0
+                reg = cfg.pretanh_penalty * qscale * (sat ** 2).mean()
+                return -q1.mean() + reg, jnp.zeros(())
 
             do_actor = (cfg.algo != "td3") | (state.step_idx % cfg.policy_delay == 0)
             a_grads, logp = jax.grad(actor_loss_fn, has_aux=True)(actor_params)
@@ -562,6 +578,7 @@ class OffPolicyAgent(BaseAgent):
                                count=self.state.rms.count)}
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(payload))
+        write_ckpt_meta(path, getattr(self, "trained_timesteps", 0))
         return path
 
     def load(self, path: str):
@@ -578,6 +595,7 @@ class OffPolicyAgent(BaseAgent):
         self.state = tmpl.replace(
             actor_params=restored["actor"],
             rms=RunningMeanStd(**restored["rms"]))
+        self.trained_timesteps = ckpt_trained_timesteps(path)
         self._eval_policy = jax.jit(eval_policy)
         self._eval_ps = None
 
@@ -586,10 +604,15 @@ class OffPolicyAgent(BaseAgent):
         self.env_params = self.params_factory(env_config=env_config or None)
         ckpt = self._ckpt_path(save_path_prefix)
         if not self.force_retrain and os.path.exists(ckpt):
-            print(f"Loading existing model for {self.name} from {ckpt}")
-            self.load(ckpt)
-            self.training_time = 0.0
-            return
+            trained = ckpt_trained_timesteps(ckpt)
+            if trained >= total_timesteps:
+                print(f"Loading existing model for {self.name} from {ckpt} "
+                      f"(trained {trained} >= {total_timesteps})")
+                self.load(ckpt)
+                self.training_time = 0.0
+                return
+            print(f"Checkpoint {ckpt} trained only {trained} < "
+                  f"{total_timesteps} steps; retraining")
         print(f"Training {self.name} ({self.config.algo}) for "
               f"{total_timesteps} steps...")
         start = time.time()
@@ -624,6 +647,7 @@ class OffPolicyAgent(BaseAgent):
         self._eval_ps = None
         self.training_log = metrics
         self.training_time = time.time() - start
+        self.trained_timesteps = total_timesteps
         self.save(ckpt)
         if metrics:
             import csv

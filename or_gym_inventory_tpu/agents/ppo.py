@@ -32,7 +32,9 @@ from flax import serialization, struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from or_gym_inventory_tpu.agents import networks
-from or_gym_inventory_tpu.agents.base import BaseAgent
+from or_gym_inventory_tpu.agents.base import (BaseAgent,
+                                              ckpt_trained_timesteps,
+                                              write_ckpt_meta)
 from or_gym_inventory_tpu.envs.base import Environment
 from or_gym_inventory_tpu.vector import vecenv
 
@@ -486,6 +488,7 @@ class PPOAgent(BaseAgent):
                                count=self.train_state.rms.count)}
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(payload))
+        write_ckpt_meta(path, getattr(self, "trained_timesteps", 0))
         return path
 
     def load(self, path: str):
@@ -504,6 +507,7 @@ class PPOAgent(BaseAgent):
         self.train_state = tmpl.replace(
             params=restored["params"],
             rms=RunningMeanStd(**restored["rms"]))
+        self.trained_timesteps = ckpt_trained_timesteps(path)
         self._eval_policy = None
 
     # -- training --------------------------------------------------------
@@ -512,10 +516,15 @@ class PPOAgent(BaseAgent):
         self.env_params = self.params_factory(env_config=env_config or None)
         ckpt = self._ckpt_path(save_path_prefix)
         if not self.force_retrain and os.path.exists(ckpt):
-            print(f"Loading existing model for {self.name} from {ckpt}")
-            self.load(ckpt)
-            self.training_time = 0.0
-            return
+            trained = ckpt_trained_timesteps(ckpt)
+            if trained >= total_timesteps:
+                print(f"Loading existing model for {self.name} from {ckpt} "
+                      f"(trained {trained} >= {total_timesteps})")
+                self.load(ckpt)
+                self.training_time = 0.0
+                return
+            print(f"Checkpoint {ckpt} trained only {trained} < "
+                  f"{total_timesteps} steps; retraining")
         print(f"Training {self.name} for {total_timesteps} steps...")
         start = time.time()
         key = jax.random.PRNGKey(self.seed)
@@ -556,6 +565,7 @@ class PPOAgent(BaseAgent):
         self._eval_policy = None
         self.training_log = metrics
         self.training_time = time.time() - start
+        self.trained_timesteps = total_timesteps
         self.save(ckpt)
         if metrics:
             os.makedirs(self.log_dir, exist_ok=True)

@@ -352,13 +352,19 @@ class RecurrentPPOAgent(PPOAgent):
 
     def train(self, env_config: dict, total_timesteps: int,
               save_path_prefix: str = ""):
+        from or_gym_inventory_tpu.agents.base import ckpt_trained_timesteps
         self.env_params = self.params_factory(env_config=env_config or None)
         ckpt = self._ckpt_path(save_path_prefix)
         if not self.force_retrain and os.path.exists(ckpt):
-            print(f"Loading existing model for {self.name} from {ckpt}")
-            self.load(ckpt)
-            self.training_time = 0.0
-            return
+            trained = ckpt_trained_timesteps(ckpt)
+            if trained >= total_timesteps:
+                print(f"Loading existing model for {self.name} from {ckpt} "
+                      f"(trained {trained} >= {total_timesteps})")
+                self.load(ckpt)
+                self.training_time = 0.0
+                return
+            print(f"Checkpoint {ckpt} trained only {trained} < "
+                  f"{total_timesteps} steps; retraining")
         print(f"Training {self.name} for {total_timesteps} steps...")
         start = time.time()
         state, eval_episodes, metrics = train(
@@ -367,6 +373,7 @@ class RecurrentPPOAgent(PPOAgent):
         self.train_state = state
         self.training_log = metrics
         self.training_time = time.time() - start
+        self.trained_timesteps = total_timesteps
         self.save(ckpt)
         if metrics:  # same *_train_log.csv the learning-curve plot reads
             os.makedirs(self.log_dir, exist_ok=True)
@@ -393,6 +400,8 @@ class RecurrentPPOAgent(PPOAgent):
             restored = serialization.from_bytes(payload, f.read())
         self.train_state = tmpl.replace(
             params=restored["params"], rms=RunningMeanStd(**restored["rms"]))
+        from or_gym_inventory_tpu.agents.base import ckpt_trained_timesteps
+        self.trained_timesteps = ckpt_trained_timesteps(path)
 
     def _ensure_model(self):
         if self._model is None:

@@ -111,3 +111,26 @@ def test_ppo_chunked_sharded():
         shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
         for sh in shards[1:]:
             np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_ppo_checkpoint_skip_is_budget_aware(tmp_path):
+    """A checkpoint trained for fewer steps than requested must NOT satisfy
+    the skip-retrain shortcut (reference SB3AgentWrapper checks
+    _total_timesteps, benchmark_InvManagementBacklogEnv.py:243-250). A
+    small-budget run previously poisoned later full-budget runs silently."""
+    from functools import partial
+    mk = lambda: ppo.PPOAgent(nv.ENV, partial(nv.default_params, step_limit=8),
+                              name="budget", config=TINY,
+                              model_dir=str(tmp_path), log_dir=str(tmp_path))
+    small = mk()
+    small.train({"step_limit": 8}, total_timesteps=16 * 8 * 1)
+    assert small.training_time > 0
+    # same budget: skip
+    again = mk()
+    again.train({"step_limit": 8}, total_timesteps=16 * 8 * 1)
+    assert again.training_time == 0.0
+    # larger budget: the stale checkpoint must not be used
+    bigger = mk()
+    bigger.train({"step_limit": 8}, total_timesteps=16 * 8 * 3)
+    assert bigger.training_time > 0
+    assert int(bigger.train_state.update_idx) == 3
