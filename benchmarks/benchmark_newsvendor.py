@@ -5,7 +5,9 @@ Mirrors reference benchmark_newsvendor.py (roster :340-363, config :54-65:
 step_limit=50) with the SB3 agents replaced by this framework's on-device
 learners. Run: ``python benchmarks/benchmark_newsvendor.py``.
 
-Env overrides: OGT_EPISODES / OGT_TIMESTEPS / OGT_FAST=1 (vectorized eval).
+Env overrides: OGT_EPISODES / OGT_TIMESTEPS / OGT_FAST=1 (vectorized eval) /
+OGT_AGENTS=name,name (re-measure a subset of rows; applies to every script
+routed through bench.runner.run_benchmark).
 """
 
 import os

@@ -10,6 +10,7 @@ benchmark_InvManagementBacklogEnv.py:686-773).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Sequence, Tuple
 
@@ -39,8 +40,19 @@ def run_benchmark(env_name_short: str,
 
     ``fast=True`` uses the vectorized device evaluator (one episode per lane)
     for agents exposing a device policy; others fall back to the host path.
+
+    ``OGT_AGENTS`` (comma-separated names) restricts the roster — used to
+    re-measure a subset of rows without re-training the whole table.
     """
     enable_persistent_compile_cache()
+    only = os.environ.get("OGT_AGENTS")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        agents = [(n, a) for n, a in agents if n in wanted]
+        missing = wanted - {n for n, _ in agents}
+        if missing:
+            raise SystemExit(f"OGT_AGENTS names not in roster: {sorted(missing)}")
+        print(f"Roster restricted via OGT_AGENTS to: {[n for n, _ in agents]}")
     results_dir = results_dir or f"./benchmark_results_{env_name_short}"
     log_dir = log_dir or f"./logs_{env_name_short}"
 

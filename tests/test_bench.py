@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from or_gym_inventory_tpu.agents import heuristics as H
 from or_gym_inventory_tpu.agents.base import RandomAgent
@@ -90,6 +91,29 @@ def test_run_benchmark_end_to_end(tmp_path):
                 "AvgStockoutQty", "AvgEndInv", "AvgTimePerEp",
                 "TrainingTime(s)", "SuccessRate(%)"]:
         assert col in summary.columns
+
+
+def test_run_benchmark_roster_filter(tmp_path, monkeypatch):
+    """OGT_AGENTS restricts the roster to the named rows; unknown names
+    fail loudly instead of silently measuring nothing."""
+    agents = [
+        ("Random", RandomAgent()),
+        ("OrderUpTo_SF=1.0", H.OrderUpToHeuristicAgent(1.0)),
+    ]
+    monkeypatch.setenv("OGT_AGENTS", "Random")
+    summary, _ = run_benchmark(
+        "TestNVF", agents, ad.NewsvendorEnv, {"step_limit": 5},
+        n_eval_episodes=1, seed_offset=100, rl_training_timesteps=0,
+        results_dir=str(tmp_path / "results"), log_dir=str(tmp_path / "logs"),
+        make_plots=False)
+    assert list(summary.index) == ["Random"]
+    monkeypatch.setenv("OGT_AGENTS", "NoSuchAgent")
+    with pytest.raises(SystemExit):
+        run_benchmark("TestNVF", agents, ad.NewsvendorEnv, {"step_limit": 5},
+                      n_eval_episodes=1, seed_offset=100,
+                      rl_training_timesteps=0,
+                      results_dir=str(tmp_path / "results"),
+                      log_dir=str(tmp_path / "logs"), make_plots=False)
 
 
 def test_bench_kernel_failure_falls_back_visibly(monkeypatch, capsys):
