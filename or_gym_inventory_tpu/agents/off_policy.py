@@ -449,10 +449,16 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
 
 
 def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
-          total_timesteps: int, log_every: int = 50, progress=None,
+          total_timesteps: int, log_every: int = 500, progress=None,
           mesh=None, axis_name: str = "env"):
     """Run off-policy training; chunked so each device call covers many
     iterations (scan) with metrics surfaced every ``log_every`` iters.
+
+    ``log_every`` is clamped to the iteration budget and the final chunk is
+    ragged, so training runs EXACTLY ``total_timesteps // num_envs``
+    iterations (no rounding up to a chunk multiple). The scan length is
+    carried by the key array's leading dim, so at most two program shapes
+    compile (full chunk + ragged tail).
 
     With ``mesh``, the env batch + replay buffer shard over ``axis_name``
     (data parallel over ICI); params replicate and gradients pmean — the
@@ -464,16 +470,19 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
         init, update, eval_policy = make_offpolicy(env, env_params, cfg)
         init_jit = jax.jit(init)
 
-        def chunk(state, key):
+        def chunk(state, keys):
             def body(carry, k):
                 state = carry
                 state, metrics = update(state, k)
                 return state, metrics
-            keys = jax.random.split(key, log_every)
             state, metrics = jax.lax.scan(body, state, keys)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
         run_chunk = jax.jit(chunk)
+
+        def chunk_keys(ckey, n):
+            return jax.random.split(ckey, n)
+
         state = init_jit(key)
     else:
         n_dev = mesh.devices.size
@@ -501,31 +510,38 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
         state = jax.jit(init_fn)(key)
 
         def sharded_chunk(state, keys):
-            key = jax.random.fold_in(keys[0], jax.lax.axis_index(axis_name))
+            # keys block is (n, 1[, 2]): this shard's per-iteration stream
+            ks = keys[:, 0]
 
             def body(carry, k):
                 state = carry
                 state, metrics = update(state, k)
                 return state, metrics
 
-            ks = jax.random.split(key, log_every)
             state, metrics = jax.lax.scan(body, state, ks)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
         run_chunk_sm = jax.shard_map(
-            sharded_chunk, mesh=mesh, in_specs=(state_spec, P(axis_name)),
+            sharded_chunk, mesh=mesh,
+            in_specs=(state_spec, P(None, axis_name)),
             out_specs=(state_spec, P()), check_vma=False)
         run_chunk = jax.jit(run_chunk_sm)
 
+        def chunk_keys(ckey, n):
+            n_dev = mesh.devices.size
+            ks = jax.random.split(ckey, n * n_dev)
+            # old-style keys carry a trailing (2,) uint32 dim; keep it
+            return ks.reshape(n, n_dev, *ks.shape[1:])
+
     n_iters = max(1, total_timesteps // cfg.num_envs)
+    log_every = max(1, min(log_every, n_iters))
     metrics_log = []
     done_iters = 0
     while done_iters < n_iters:
+        n = min(log_every, n_iters - done_iters)
         key, ckey = jax.random.split(key)
-        ckeys = ckey if mesh is None else jax.random.split(
-            ckey, mesh.devices.size)
-        state, metrics = run_chunk(state, ckeys)
-        done_iters += log_every
+        state, metrics = run_chunk(state, chunk_keys(ckey, n))
+        done_iters += n
         m = {k: float(v) for k, v in metrics.items()}
         m["timesteps"] = done_iters * cfg.num_envs
         metrics_log.append(m)
@@ -659,7 +675,9 @@ class OffPolicyAgent(BaseAgent):
                 w.writeheader()
                 for i in range(len(next(iter(metrics.values())))):
                     w.writerow({k: metrics[k][i] for k in metrics})
-        print(f"Training for {self.name} finished in {self.training_time:.2f}s")
+        print(f"Training for {self.name} finished in {self.training_time:.2f}s "
+              f"({total_timesteps / max(self.training_time, 1e-9):,.0f} "
+              f"trained-steps/s)")
 
     def _ensure_eval_ps(self):
         """CPU-pinned copy of (actor_params, rms) for latency-bound host eval

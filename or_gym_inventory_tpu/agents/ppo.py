@@ -62,12 +62,15 @@ class PPOConfig:
     # default here
     normalize_reward: bool = struct.field(pytree_node=False, default=True)
     optimizer: str = struct.field(pytree_node=False, default="adam")
-    # >1 runs that many updates per device call (lax.scan over the update),
+    # Runs that many updates per device call (lax.scan over the update),
     # amortizing the per-call dispatch floor — decisive for SB3-shaped
-    # configs (tiny batch, tens of thousands of updates). Metrics still
-    # come back per update; progress/eval callbacks fire at chunk
-    # boundaries, so keep eval_every_updates a multiple of this.
-    updates_per_call: int = struct.field(pytree_node=False, default=1)
+    # configs (tiny batch, tens of thousands of updates) and for this
+    # container's ~30 ms TPU relay. Metrics still come back per update;
+    # progress/eval callbacks fire at chunk boundaries (PPOAgent.train
+    # re-aligns the chunk so the eval cadence is honored exactly).
+    # Chunked is the default: per-update dispatch costs ~10x wall-clock
+    # at benchmark budgets (RESULTS.md round-2 tables).
+    updates_per_call: int = struct.field(pytree_node=False, default=16)
 
     def num_updates(self, total_timesteps: int) -> int:
         return max(1, total_timesteps // (self.num_envs * self.rollout_steps))
@@ -547,14 +550,18 @@ class PPOAgent(BaseAgent):
                     best.update(reward=mean, params=st.params, rms=st.rms)
 
         cfg = self.config
-        if progress is not None and cfg.updates_per_call > 1:
-            # chunked training fires progress only at chunk boundaries; a
-            # chunk size that doesn't divide the eval interval would make
-            # the periodic eval never trigger — clamp to the gcd
-            import math
-            aligned = math.gcd(cfg.updates_per_call, self.eval_every_updates)
-            if aligned != cfg.updates_per_call:
-                cfg = cfg.replace(updates_per_call=aligned)
+        if progress is not None and cfg.updates_per_call > 1 and \
+                self.eval_every_updates % cfg.updates_per_call:
+            # chunked training fires progress only at chunk boundaries; the
+            # eval cadence is honored exactly iff the chunk divides
+            # eval_every_updates. Pick the LARGEST such chunk (not the gcd
+            # with the configured chunk, which can degrade to per-update
+            # dispatch) so eval fires on schedule at minimum dispatch cost.
+            # Call-local: self.config is never mutated.
+            every = self.eval_every_updates
+            aligned = every if every <= cfg.updates_per_call else max(
+                d for d in range(1, cfg.updates_per_call + 1) if every % d == 0)
+            cfg = cfg.replace(updates_per_call=aligned)
         state, metrics = train(self.env, self.env_params, cfg, key,
                                total_timesteps, mesh=self.mesh,
                                progress=progress)
@@ -576,7 +583,9 @@ class PPOAgent(BaseAgent):
                 w.writeheader()
                 for i in range(len(metrics["update"])):
                     w.writerow({k: metrics[k][i] for k in metrics})
-        print(f"Training for {self.name} finished in {self.training_time:.2f}s")
+        print(f"Training for {self.name} finished in {self.training_time:.2f}s "
+              f"({total_timesteps / max(self.training_time, 1e-9):,.0f} "
+              f"trained-steps/s)")
 
     # -- evaluation ------------------------------------------------------
     def _ensure_policy(self):

@@ -385,7 +385,9 @@ class RecurrentPPOAgent(PPOAgent):
                 w.writeheader()
                 for i in range(len(metrics["update"])):
                     w.writerow({k: metrics[k][i] for k in metrics})
-        print(f"Training for {self.name} finished in {self.training_time:.2f}s")
+        print(f"Training for {self.name} finished in {self.training_time:.2f}s "
+              f"({total_timesteps / max(self.training_time, 1e-9):,.0f} "
+              f"trained-steps/s)")
 
     def load(self, path: str):
         from flax import serialization

@@ -46,13 +46,19 @@ def run_benchmark(env_name_short: str,
     """
     enable_persistent_compile_cache()
     only = os.environ.get("OGT_AGENTS")
-    if only:
+    if only is not None:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
+        if not wanted:
+            raise SystemExit("OGT_AGENTS is set but contains no agent names")
         agents = [(n, a) for n, a in agents if n in wanted]
         missing = wanted - {n for n, _ in agents}
         if missing:
             raise SystemExit(f"OGT_AGENTS names not in roster: {sorted(missing)}")
         print(f"Roster restricted via OGT_AGENTS to: {[n for n, _ in agents]}")
+        if results_dir is None:
+            # A subset re-measure must not clobber the full-roster CSVs with
+            # filtered rows; route its artifacts to a sibling directory.
+            results_dir = f"./benchmark_results_{env_name_short}_subset"
     results_dir = results_dir or f"./benchmark_results_{env_name_short}"
     log_dir = log_dir or f"./logs_{env_name_short}"
 

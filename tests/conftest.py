@@ -25,6 +25,10 @@ import sys
 
 import pytest
 
+# A developer's lingering OGT_AGENTS shell variable must not leak into the
+# suite (it filters benchmark rosters and can SystemExit when empty).
+os.environ.pop("OGT_AGENTS", None)
+
 REFERENCE_DIR = pathlib.Path("/root/reference")
 
 

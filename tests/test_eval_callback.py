@@ -26,8 +26,9 @@ def test_best_model_retention(tmp_path):
 
 
 def test_eval_callback_fires_with_misaligned_chunking(tmp_path):
-    """updates_per_call that doesn't divide eval_every_updates is clamped to
-    their gcd so the periodic best-model eval still fires."""
+    """updates_per_call whose chunk boundaries would miss eval multiples is
+    re-aligned (largest chunk dividing eval_every_updates) so the periodic
+    best-model eval still fires at the requested cadence."""
     import jax
     import numpy as np
     from or_gym_inventory_tpu.agents import ppo
@@ -36,7 +37,7 @@ def test_eval_callback_fires_with_misaligned_chunking(tmp_path):
 
     cfg = ppo.PPOConfig(num_envs=8, rollout_steps=8, num_minibatches=2,
                         update_epochs=1, pi_arch=(16,), vf_arch=(16,),
-                        updates_per_call=3)  # gcd(3, 2) = 1 -> per-update
+                        updates_per_call=3)  # re-aligned to 2 (= eval cadence)
     agent = ppo.PPOAgent(nv.ENV, partial(nv.default_params, step_limit=8),
                          name="chunk_eval", config=cfg,
                          model_dir=str(tmp_path), log_dir=str(tmp_path),
