@@ -154,6 +154,11 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
                               n_episodes: int, seed: int = 0) -> Dict:
     """All episodes as one vmapped batch on device (one episode per lane).
 
+    Seeding follows the reference protocol: episode i is driven by seed
+    ``seed + i`` (benchmark_newsvendor.py:227-228) — each lane's reset and
+    per-step env keys are a pure function of its recorded Seed, so rows are
+    episode-for-episode comparable with the host path's Seed column.
+
     Operational metrics come from the stacked trajectory infos. Wall time is
     the single program execution divided across episodes.
     """
@@ -162,9 +167,10 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
         raise ValueError(f"{agent.name} has no device policy; "
                          "use evaluate_agent instead")
     policy_state = None
+    episode_seeds = seed + np.arange(n_episodes)
     start = time.perf_counter()
-    totals, traj = vecenv.evaluate_episodes(
-        env, params, policy, policy_state, jax.random.PRNGKey(seed), n_episodes)
+    totals, traj = vecenv.evaluate_episodes_seeded(
+        env, params, policy, policy_state, jax.numpy.asarray(episode_seeds))
     totals = np.asarray(totals)
     elapsed = time.perf_counter() - start
 
@@ -199,7 +205,8 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
     service = np.where(demand > 1e-6, sales / np.maximum(demand, 1e-6), 1.0)
     rows = [{
         "Agent": agent.name, "Episode": i + 1, "TotalReward": float(totals[i]),
-        "Steps": horizon, "Time": elapsed / n_episodes, "Seed": seed,
+        "Steps": horizon, "Time": elapsed / n_episodes,
+        "Seed": int(episode_seeds[i]),
         "AvgServiceLevel": float(service[i]),
         "TotalStockoutQty": float(stockout[i]),
         "AvgEndingInv": float(end_inv[i]), "Error": None,

@@ -99,6 +99,46 @@ def rollout(env: Environment, params, policy_fn: Callable, policy_state,
     return (state, obs, key), traj
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def evaluate_episodes_seeded(env: Environment, params, policy_fn: Callable,
+                             policy_state, seeds: jax.Array):
+    """One fixed-horizon episode per lane, lane i driven ONLY by ``seeds[i]``.
+
+    This is the device analogue of the reference's seeding protocol — episode
+    i is seeded ``seed_offset + i`` (benchmark_newsvendor.py:227-228) — so a
+    device-path row is episode-for-episode comparable to a host-path row with
+    the same Seed value: lane i's reset key and every per-step env key are
+    ``fold_in(PRNGKey(seeds[i]), ·)``, independent of batch size or the other
+    lanes. (The *bit streams* still differ from NumPy PCG64, as documented in
+    BASELINE.md; comparability means the per-episode randomness is a pure
+    function of the recorded seed on both paths.)
+
+    Returns (totals, trajectory) like ``evaluate_episodes``.
+    """
+    horizon = env.horizon(params)
+    base = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    reset_keys = jax.vmap(jax.random.fold_in, (0, None))(base, 0)
+    state, ts0 = jax.vmap(env.reset, in_axes=(None, 0))(params, reset_keys)
+
+    def scan_step(carry, t):
+        state, obs = carry
+        # per-lane env stream: fold_in(base_i, 1 + t); action keys come from a
+        # disjoint tag range so stochastic policies don't alias the env stream
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(base, 1 + t)
+        act_key = jax.random.fold_in(base[0], 1 + horizon + t)
+        action = policy_fn(policy_state, obs, act_key, t)
+        state, ts = jax.vmap(env.step, in_axes=(None, 0, 0, 0))(
+            params, state, action, step_keys)
+        traj = Trajectory(obs=obs, action=action, reward=ts.reward,
+                          done=ts.done, next_obs=ts.obs, info=ts.info)
+        return (state, ts.obs), traj
+
+    (state, _), traj = jax.lax.scan(
+        scan_step, (state, ts0.obs), jnp.arange(horizon))
+    totals = jnp.sum(traj.reward, axis=0)
+    return totals, traj
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 5))
 def evaluate_episodes(env: Environment, params, policy_fn: Callable,
                       policy_state, key: jax.Array, num_envs: int):

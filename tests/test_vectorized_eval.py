@@ -32,6 +32,54 @@ def test_vectorized_eval_net_metrics():
     assert (df["AvgEndingInv"] > 0).all()
 
 
+def test_vectorized_eval_seed_protocol_matches_host():
+    """Device path records Seed = seed_offset + i exactly like the host path
+    (reference protocol, benchmark_newsvendor.py:227-228), and episode i is a
+    pure function of its recorded seed: the same seed yields the same episode
+    regardless of batch size or lane position."""
+    params = im.default_params(periods=8)
+    agent = H.BaseStockAgent(1.0)
+    res = evaluate_agent_vectorized(agent, im.ENV, params, 6, seed=4000)
+    df = res["summary"]
+    assert list(df["Seed"]) == [4000 + i for i in range(6)]
+
+    # re-run episode with seed 4003 alone: identical reward/metrics to lane 3
+    res1 = evaluate_agent_vectorized(agent, im.ENV, params, 1, seed=4003)
+    row_batch = df.iloc[3]
+    row_solo = res1["summary"].iloc[0]
+    assert row_solo["Seed"] == row_batch["Seed"] == 4003
+    np.testing.assert_allclose(row_solo["TotalReward"],
+                               row_batch["TotalReward"], rtol=1e-6)
+    np.testing.assert_allclose(row_solo["TotalStockoutQty"],
+                               row_batch["TotalStockoutQty"], rtol=1e-6)
+
+    # and a shifted offset reproduces the overlapping episodes
+    res_shift = evaluate_agent_vectorized(agent, im.ENV, params, 6, seed=4002)
+    np.testing.assert_allclose(res_shift["summary"]["TotalReward"][:4],
+                               df["TotalReward"][2:].to_numpy(), rtol=1e-6)
+
+
+def test_vectorized_eval_host_row_comparability_injected_demand():
+    """With injected deterministic demand (dist=5 user_D), a device-path row
+    and a host-path row with the same Seed agree on reward and metrics —
+    pinning episode-for-episode comparability of the two evaluators."""
+    from or_gym_inventory_tpu.bench.evaluate import evaluate_agent
+    from or_gym_inventory_tpu.envs import adapters as ad
+
+    user_d = tuple([17, 23, 20, 25, 14, 22, 19, 21])
+    params = im.default_params(periods=8, dist=5, user_D=user_d)
+    agent = H.BaseStockAgent(1.0)
+    res_v = evaluate_agent_vectorized(agent, im.ENV, params, 3, seed=4000)
+    res_h = evaluate_agent(
+        agent, ad.InvManagementBacklogEnv, 3, seed_offset=4000,
+        env_config={"periods": 8, "dist": 5, "user_D": user_d})
+    dv, dh = res_v["summary"], res_h["summary"]
+    assert list(dv["Seed"]) == list(dh["Seed"])
+    np.testing.assert_allclose(dv["TotalReward"], dh["TotalReward"], rtol=1e-4)
+    np.testing.assert_allclose(dv["TotalStockoutQty"], dh["TotalStockoutQty"],
+                               rtol=1e-4)
+
+
 def test_vectorized_eval_requires_device_policy():
     class HostOnly(H.BaseStockAgent):
         def device_policy(self, env, params):
