@@ -32,9 +32,12 @@ def time_fn(f, n=4):
     return min(ts)
 
 
-def bench(name, steps, xla_fn, kernel_fn, check_fn=None):
+def bench(name, steps, xla_fn, kernel_fn, check_fn=None, fused_fn=None):
+    paths = [("xla", xla_fn), ("pallas_episode", kernel_fn)]
+    if fused_fn is not None:
+        paths.append(("pallas_fused", fused_fn))
     for batch in BATCHES:
-        for path, fn in (("xla", xla_fn), ("pallas_episode", kernel_fn)):
+        for path, fn in paths:
             try:
                 best = time_fn(jax.jit(lambda k, b=batch, f=fn: f(k, b)))
                 print(json.dumps({"env": name, "path": path, "batch": batch,
@@ -68,15 +71,27 @@ def main():
         return pek.episode_returns_nv_random(p, econ, dems, seed,
                                              block=1024).sum()
 
+    def nv_fused(key, batch):
+        # fully-fused: actions AND per-lane dynamic-mu Poisson demand
+        # sampled in-kernel; only the 5-row econ reset stays in XLA
+        k1, k2 = jax.random.split(key)
+        econ = jax.vmap(lambda k: nv.draw_econ(p, k), out_axes=1)(
+            jax.random.split(k1, batch))
+        seed = jax.random.randint(k2, (), 0, 2**31 - 1)
+        return pek.episode_returns_nv_fused(p, econ, seed, block=2048).sum()
+
     def nv_check():
         import numpy as np
         k = jax.random.PRNGKey(7)
         a = float(jax.jit(lambda k: nv_xla(k, 262144))(k)) / 262144
         b = float(jax.jit(lambda k: nv_kernel(k, 262144))(k)) / 262144
+        c = float(jax.jit(lambda k: nv_fused(k, 262144))(k)) / 262144
         print(json.dumps({"env": "newsvendor", "check_mean_xla": round(a, 1),
-                          "check_mean_kernel": round(b, 1)}), flush=True)
+                          "check_mean_kernel": round(b, 1),
+                          "check_mean_fused": round(c, 1)}), flush=True)
 
-    bench("newsvendor", p.step_limit, nv_xla, nv_kernel, nv_check)
+    bench("newsvendor", p.step_limit, nv_xla, nv_kernel, nv_check,
+          fused_fn=nv_fused)
 
     # -------------------------------------------------------- invmanagement
     pi = im.default_params()

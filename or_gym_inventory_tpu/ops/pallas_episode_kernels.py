@@ -135,6 +135,235 @@ def episode_returns_nv_random(params: NewsvendorParams, econ, demands, seed,
     return _nv_call(params, econ, (demands,), seed, block, interpret)
 
 
+# ------------------------------ fully-fused Newsvendor (in-kernel demand)
+#
+# Newsvendor demand is Poisson(mu) with mu drawn PER EPISODE at reset
+# (reference newsvendor.py:111,146) — mu is dynamic per lane, so the static
+# compile-time CDF tables used by the NetInvMgmt/InvManagement fused kernels
+# do not apply. The kernel instead inverts the CDF with a per-lane running-pmf
+# recurrence, exploiting two structural facts:
+#
+# 1. mu is CONSTANT across the episode, so the pmf recurrence over k is
+#    computed once per lane and shared by every period's inversion — the
+#    per-k cost is ~4 ops of recurrence plus 3 ops per period of compare
+#    (amortized: ~K*(4/T + 3) ops per demand sample instead of ~5K).
+# 2. Anchoring the recurrence at kc = floor(mu) + O(sqrt(mu)) keeps every
+#    pmf value within f32 range for all mu <= mu_max (pmf(kc) >= pmf(mode) *
+#    exp(-Z^2/2) ~ 1e-10 at Z=5.75), avoiding the exp(-mu) underflow that
+#    rules out the textbook from-zero recurrence beyond mu ~ 87.
+#
+# The accumulation runs in SURVIVAL form, DESCENDING from a per-lane upper
+# cutoff kc = floor(mu) + w(mu): the suffix sum S(k) = sum_{j>k} pmf(j) is
+# built smallest-terms-first, so the right tail is resolved to full f32
+# RELATIVE precision (a left-to-right CDF sum saturates ~7e-5 below 1 and
+# cannot place far-tail thresholds at all), and the comparison target
+# v = 1 - u is exact in f32 for a 24-bit uniform. The count identity is
+#   d = #{k : F(k) <= u} = kc + 1 - #{k in window : S(k) < v},
+# with k below the window contributing nothing (their computed S equals the
+# full truncated mass, and a final max(d, 0) handles u below the truncated
+# left tail). pmf(kc) = exp(kc*log(mu) - mu - lgamma(kc+1)); lgamma(kc+1) is
+# selected from float64-exact compile-time constants by a masked update (kc
+# is integer-valued), so the only in-kernel transcendentals are one
+# log/sqrt/exp per episode. Demand clamps to [0, kc] (truncated tail mass
+# ~2^-24 each side, the 24-bit uniform's resolution — the same truncation
+# semantics as the static tables, tests/test_pallas_fused.py).
+
+_NV_TAIL_Z = 5.75    # one-sided normal tail ~4.5e-9 at Z=5.75
+_NV_TAIL_PAD = 6     # absolute slack on top of Z*sqrt(mu) (small-mu skew)
+
+
+def _nv_window(params: NewsvendorParams):
+    """(Wb, K, lgamma_consts): worst-case half-width, total unrolled terms,
+    and float64-exact lgamma(k+1) for every reachable cutoff kc."""
+    import math
+    mu_max = max(float(params.mu_max), 1.0)
+    Wb = int(math.ceil(_NV_TAIL_Z * math.sqrt(mu_max))) + _NV_TAIL_PAD
+    K = 2 * Wb + 1
+    kc_max = int(math.floor(mu_max)) + Wb
+    lgam = tuple(float(math.lgamma(k + 1)) for k in range(kc_max + 1))
+    return Wb, K, lgam
+
+
+def _nv_poisson_setup(params: NewsvendorParams, mu):
+    """Per-episode inversion anchor: (mu_safe, kc, pmf(kc), t_total) — pure
+    jnp math, shared verbatim by the kernel and the CPU-testable mirror."""
+    Wb, _K, lgam = _nv_window(params)
+    mu_safe = jnp.maximum(mu.astype(jnp.float32), 1e-6)
+    # absolute pad shrinks with mu: at tiny mu a +6 cutoff would put pmf(kc)
+    # ~ mu^6 below the f32 subnormal floor and zero out the whole recurrence;
+    # 2 + 4*min(mu,1) keeps pmf(kc) representable while the tail beyond kc
+    # stays < 2^-24 (pinned across the mu grid by
+    # test_cutoff_tail_mass_below_uniform_resolution)
+    pad = 2.0 + 4.0 * jnp.minimum(mu_safe, 1.0)
+    w = jnp.ceil(_NV_TAIL_Z * jnp.sqrt(mu_safe) + pad)
+    kc = jnp.floor(mu_safe) + jnp.minimum(w, float(Wb))
+    # The exponent g = kc*log(mu) - mu - lgamma(kc+1) is an O(1) result of
+    # ~1e3-magnitude terms; naive f32 evaluation loses ~1e-4 to cancellation,
+    # which scales EVERY pmf and corrupts the left-tail thresholds. Keep the
+    # big terms in hi/lo pairs: lgamma constants are float64-exact splits
+    # (masked update — kc is integer-valued, lgamma increasing), kc*log(mu)
+    # is an exact product of kc (<=2^9) with a 12-bit Veltkamp head, and the
+    # cancelling subtractions carry TwoSum error terms. Residual error
+    # ~1e-6, i.e. sub-2^-24-resolution on the uniform scale.
+    lg_hi = jnp.zeros_like(mu_safe)
+    lg_lo = jnp.zeros_like(mu_safe)
+    import numpy as _np
+    for kk in range(2, len(lgam)):
+        hi = _np.float32(lgam[kk])
+        lo = _np.float32(lgam[kk] - float(hi))
+        sel = kc >= float(kk)
+        lg_hi = jnp.where(sel, hi, lg_hi)
+        lg_lo = jnp.where(sel, lo, lg_lo)
+    logmu = jnp.log(mu_safe)
+    s = logmu * 4097.0                      # Veltkamp split: 12-bit head
+    head = s - (s - logmu)
+    tail = logmu - head
+    a1 = kc * head                          # exact: 9 + 12 bits < 24
+    A = a1 - lg_hi                          # TwoSum-compensated cancels
+    t1 = A - a1
+    e1 = (a1 - (A - t1)) - (lg_hi + t1)
+    B = A - mu_safe
+    t2 = B - A
+    e2 = (A - (B - t2)) - (mu_safe + t2)
+    g = B + (e1 + e2 + kc * tail - lg_lo)
+    p_c = jnp.exp(g)
+    # Renormalization total: one u-independent pass of the same recurrence.
+    # Comparisons run against v * t_total, making the inversion invariant to
+    # any uniform scale error left in p_c (f32 log(mu) rounds at ~1 ulp and
+    # kc amplifies it ~2e-5 — with the total in the comparison that scale
+    # cancels exactly; only intra-recurrence drift ~1e-6 remains).
+    _K = 2 * Wb + 1
+    p, T, comp, kf = p_c, jnp.zeros_like(p_c), jnp.zeros_like(p_c), kc
+    for _ in range(_K):
+        y = p - comp
+        t_new = T + y
+        comp = (t_new - T) - y
+        T = t_new
+        p = p * (kf / mu_safe)
+        kf = kf - 1.0
+    return mu_safe, kc, p_c, T
+
+
+def _nv_poisson_invert(mu_safe, kc, p_c, t_total, K, us):
+    """demand_i = #{k : F(k) <= u_i} for each uniform in ``us`` — one shared
+    descending suffix-sum recurrence, per-u compare-accumulate.
+
+    The recurrence divides exactly (a premultiplied 1/mu would bias every
+    pmf by ~K*eps systematically), the suffix sum is Kahan-compensated, and
+    thresholds are renormalized by ``t_total`` (see _nv_poisson_setup), so
+    the inversion is accurate to the intra-recurrence drift ~1e-6."""
+    vs = [(1.0 - u) * t_total for u in us]   # 1-u exact for 24-bit uniforms
+    cnt = [jnp.zeros_like(u) for u in us]
+    p = p_c
+    T = jnp.zeros_like(p_c)                  # suffix sum S(k) before adding
+    comp = jnp.zeros_like(p_c)
+    kf = kc
+    for _ in range(K):
+        cnt = [c + (T < v).astype(jnp.float32) for c, v in zip(cnt, vs)]
+        y = p - comp                         # Kahan-compensated T += p
+        t_new = T + y
+        comp = (t_new - T) - y
+        T = t_new
+        p = p * (kf / mu_safe)               # pmf(k-1) = pmf(k) * k / mu
+        kf = kf - 1.0
+    return [jnp.maximum(kc + 1.0 - c, 0.0) for c in cnt]
+
+
+def _nv_fused_kernel(params: NewsvendorParams, num_steps, K, chunk,
+                     seed_ref, econ_ref, rew_ref):
+    """Whole episode with actions AND Poisson(mu) demand sampled on-core;
+    native-tile (rows, sub, 128) layout. Demand uniforms are drawn and
+    inverted ``chunk`` periods at a time (bounds live registers; the shared
+    recurrence amortizes over the chunk)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    tile = rew_ref.shape[1:]
+    price, cost, h, k = (econ_ref[i] for i in range(4))
+    mu_safe, kc, p_c, t_total = _nv_poisson_setup(params, econ_ref[4])
+    L = params.lead_time
+    P = [jnp.zeros(tile, jnp.float32) for _ in range(L)]
+    total = jnp.zeros(tile, jnp.float32)
+    for t0 in range(0, num_steps, chunk):
+        n = min(chunk, num_steps - t0)
+        du = _uniform01((n,) + tile)
+        ds = _nv_poisson_invert(mu_safe, kc, p_c, t_total, K,
+                                [du[i] for i in range(n)])
+        for i in range(n):
+            order_raw = _uniform01(tile) * params.max_order_quantity
+            P, reward = _nv_step_math(params, P, price, cost, h, k,
+                                      order_raw, ds[i])
+            total = total + (params.gamma ** (t0 + i)) * reward
+    rew_ref[0] = total
+
+
+def _nv_streams_debug_kernel(params: NewsvendorParams, num_steps, K, chunk,
+                             seed_ref, econ_ref, acts_ref, dems_ref):
+    """Replays _nv_fused_kernel's exact PRNG consumption order (per chunk:
+    demand uniforms then per-period action draw) and dumps both streams."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    tile = dems_ref.shape[1:]
+    mu_safe, kc, p_c, t_total = _nv_poisson_setup(params, econ_ref[4])
+    for t0 in range(0, num_steps, chunk):
+        n = min(chunk, num_steps - t0)
+        du = _uniform01((n,) + tile)
+        ds = _nv_poisson_invert(mu_safe, kc, p_c, t_total, K,
+                                [du[i] for i in range(n)])
+        for i in range(n):
+            acts_ref[t0 + i] = _uniform01(tile) * params.max_order_quantity
+            dems_ref[t0 + i] = ds[i]
+
+
+def _nv_fused_call(params, kernel_body, econ, seed, out_rows, block,
+                   demand_chunk, interpret):
+    B = econ.shape[1]
+    assert B % block == 0 and block % 1024 == 0, (B, block)
+    sub = block // 128
+    _Wb, K, _lg = _nv_window(params)
+    kernel = partial(kernel_body, params, params.step_limit, K, demand_chunk)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec(5)],
+        out_specs=[spec(r) for r in out_rows] if len(out_rows) > 1
+        else spec(out_rows[0]),
+        out_shape=[jax.ShapeDtypeStruct((r, B // 128, 128), jnp.float32)
+                   for r in out_rows] if len(out_rows) > 1
+        else jax.ShapeDtypeStruct((out_rows[0], B // 128, 128), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1),
+      econ.reshape(5, B // 128, 128))
+    return outs
+
+
+def episode_returns_nv_fused(params: NewsvendorParams, econ, seed,
+                             block: int = 2048, demand_chunk: int = 16,
+                             interpret: bool = False):
+    """Random-policy Newsvendor episode returns with NO pre-materialized
+    streams — actions AND per-lane dynamic-mu Poisson demand sampled inside
+    the kernel. ``econ`` (5, B) from the vectorized reset sampler
+    (draw_econ). Returns (B,) float32."""
+    out = _nv_fused_call(params, _nv_fused_kernel, econ, seed, (1,),
+                         block, demand_chunk, interpret)
+    return out.reshape(econ.shape[1])
+
+
+def sample_streams_debug_nv(params: NewsvendorParams, econ, seed,
+                            block: int = 2048, demand_chunk: int = 16,
+                            interpret: bool = False):
+    """The exact action/demand streams episode_returns_nv_fused consumes for
+    ``seed`` (same block/demand_chunk required — PRNG consumption is
+    per-tile). Returns (actions (T, B) f32, demands (T, B) f32)."""
+    T = params.step_limit
+    acts, dems = _nv_fused_call(params, _nv_streams_debug_kernel, econ, seed,
+                                (T, T), block, demand_chunk, interpret)
+    B = econ.shape[1]
+    return acts.reshape(T, B), dems.reshape(T, B)
+
+
 # =========================================================== InvManagement
 
 def _im_step_math(params: InvManagementParams, t, inv, bkl, RH, act, d):
