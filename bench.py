@@ -35,6 +35,10 @@ from or_gym_inventory_tpu.vector import vecenv
 REFERENCE_STEPS_PER_S = 78.0  # BASELINE.md: NetInvMgmtBacklogEnv, 2-vCPU host
 
 NUM_ENVS_PALLAS = 1_048_576
+EPISODES_PER_LANE = 4   # independent episodes per lane: breaks the serial
+                        # contention-chain ILP ceiling (tools/ilp_probe.py:
+                        # E=2 -> 1.84x, E=4 -> 3.01x effective steps/s)
+PALLAS_BLOCK = 1024
 NUM_ENVS_XLA = 262_144
 NUM_STEPS = 30
 CROSSCHECK_ENVS = 4096
@@ -94,6 +98,29 @@ def _crosscheck_kernel(params):
             f"fully-fused kernel disagrees with the pre-materialized-stream "
             f"kernel on its own dumped streams (max |diff| = {worst:.4g})")
 
+    # the interleaved-episode path (the timed configuration) must reproduce
+    # per episode through the pre-materialized kernel as well
+    E = EPISODES_PER_LANE
+    acts_e, dems_e = jax.jit(
+        pk.sample_streams_debug,
+        static_argnames=("act_hi", "batch", "block", "episodes_per_lane"))(
+            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=1024,
+            episodes_per_lane=E)
+    multi_ret = np.asarray(jax.jit(
+        pk.episode_returns_fully_fused,
+        static_argnames=("act_hi", "batch", "block", "episodes_per_lane"))(
+            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=1024,
+            episodes_per_lane=E))
+    for e in range(E):
+        per = jax.jit(pk.episode_returns, static_argnames="block")(
+            params, acts_e[:, e], dems_e[:, e], block=512)
+        if not np.allclose(multi_ret[e], np.asarray(per), rtol=1e-5,
+                           atol=1e-3):
+            worst = float(np.abs(multi_ret[e] - np.asarray(per)).max())
+            raise RuntimeError(
+                f"interleaved-episode kernel episode {e} disagrees with the "
+                f"pre-materialized kernel (max |diff| = {worst:.4g})")
+
     @jax.jit
     def xla_ret(actions, demands):
         def one_env(acts, dems):
@@ -123,7 +150,8 @@ def _pallas_path(params):
     """Fully-fused whole-episode kernel: state VMEM-resident, actions AND
     Poisson demand sampled on-core (kernel_roofline.py measured the XLA
     Poisson sampler at ~11x the episode kernel's own cost — fusing it is the
-    difference between ~71M and several hundred M steps/s)."""
+    difference between ~71M and several hundred M steps/s), interleaving
+    EPISODES_PER_LANE independent episodes per lane (ILP; tools/ilp_probe.py)."""
     from or_gym_inventory_tpu.ops import pallas_net_step as pk
     T = params.topology
     hi = float(T.order_cap_heuristic * 2)
@@ -133,9 +161,10 @@ def _pallas_path(params):
     def run(key):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         return pk.episode_returns_fully_fused(
-            params, seed, hi, NUM_ENVS_PALLAS, block=2048).sum()
+            params, seed, hi, NUM_ENVS_PALLAS, block=PALLAS_BLOCK,
+            episodes_per_lane=EPISODES_PER_LANE).sum()
 
-    return _time(run), NUM_ENVS_PALLAS
+    return _time(run), NUM_ENVS_PALLAS * EPISODES_PER_LANE
 
 
 def _xla_path(params):

@@ -258,7 +258,8 @@ def _invert_poisson(u_row, table):
 
 def _episode_kernel_body_fully_fused(
         T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
-        cdf_tables, seed_ref, X_ref, Y_ref, U_ref, RH_ref, rew_ref):
+        cdf_tables, n_episodes, seed_ref, X_ref, Y_ref, U_ref, RH_ref,
+        rew_ref):
     """Whole episode with BOTH streams generated on-core: uniform random
     actions AND Poisson demand (exact CDF inversion against compile-time
     tables). Zero per-period HBM traffic — the roofline run
@@ -273,63 +274,86 @@ def _episode_kernel_body_fully_fused(
     Bit-exactness is pinned by sample_streams_debug: a kernel that replays
     the identical PRNG consumption order (per period: action bits, then
     demand bits) and dumps both streams, which fed to episode_returns must
-    reproduce this kernel's returns exactly (tests/test_pallas_fused.py)."""
+    reproduce this kernel's returns exactly (tests/test_pallas_fused.py).
+
+    ``n_episodes`` simulates that many INDEPENDENT episodes per lane (same
+    initial state, disjoint PRNG draws), interleaved per period. The serial
+    11-link contention chain is a semantics-imposed ILP ceiling for a single
+    episode (PERFORMANCE.md "Utilization arithmetic"); E independent chains
+    pipeline around it — measured E=2: 1.84x, E=4: 3.01x effective steps/s
+    (tools/ilp_probe.py). n_episodes=1 draws the exact same PRNG stream as
+    before the generalization."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    X = [X_ref[i] for i in range(n_main)]
-    Y = [Y_ref[i] for i in range(n_ro)]
-    U = [U_ref[i] for i in range(n_rt)]
-    RH = [RH_ref[r] for r in range(lt * n_ro)]
-    total = jnp.zeros_like(X[0])
-    one = jnp.ones_like(X[0])
-    tile = X[0].shape
+    E = n_episodes
+    X = [[X_ref[i] for i in range(n_main)] for _ in range(E)]
+    Y = [[Y_ref[i] for i in range(n_ro)] for _ in range(E)]
+    U = [[U_ref[i] for i in range(n_rt)] for _ in range(E)]
+    RH = [[RH_ref[r] for r in range(lt * n_ro)] for _ in range(E)]
+    tile = X_ref.shape[1:]
+    total = [jnp.zeros(tile, jnp.float32) for _ in range(E)]
+    one = jnp.ones(tile, jnp.float32)
     scale = act_hi / float(1 << 24)
     for t in range(num_steps):
-        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro,) + tile),
+        bits = pltpu.bitcast(pltpu.prng_random_bits((E * n_ro,) + tile),
                              jnp.uint32)
         u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
         acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
-        act = [acts[i] for i in range(n_ro)]
-        u = _uniform24((n_rt,) + tile)
-        dem = [_invert_poisson(u[j], cdf_tables[j]) for j in range(n_rt)]
+        u = _uniform24((E * n_rt,) + tile)
         valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
-        X, Y, U, r_cur, profit = _step_math(
-            T, backlog, X, Y, U, RH, act, dem, valid)
-        RH = r_cur + RH[: (lt - 1) * n_ro]
-        total = total + (alpha ** t) * profit
-    rew_ref[0] = total
+        for e in range(E):
+            act = [acts[e * n_ro + i] for i in range(n_ro)]
+            dem = [_invert_poisson(u[e * n_rt + j], cdf_tables[j])
+                   for j in range(n_rt)]
+            X[e], Y[e], U[e], r_cur, profit = _step_math(
+                T, backlog, X[e], Y[e], U[e], RH[e], act, dem, valid)
+            RH[e] = r_cur + RH[e][: (lt - 1) * n_ro]
+            total[e] = total[e] + (alpha ** t) * profit
+    for e in range(E):
+        rew_ref[e] = total[e]
 
 
 def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, cdf_tables,
-                               seed_ref, acts_ref, dems_ref):
+                               n_episodes, seed_ref, acts_ref, dems_ref):
     """Replays the fused kernel's exact PRNG consumption order and writes the
     action/demand streams out (test/cross-check support). Same (rows, sub,
     128) layout as the fused kernel — the PRNG bit->lane assignment depends
-    on the requested shape, so both kernels must draw identical shapes."""
+    on the requested shape, so both kernels must draw identical shapes
+    (including the episodes_per_lane-widened rows)."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
     tile = acts_ref.shape[1:]
     scale = act_hi / float(1 << 24)
     for t in range(num_steps):
-        bits = pltpu.bitcast(pltpu.prng_random_bits((n_ro,) + tile),
+        bits = pltpu.bitcast(pltpu.prng_random_bits((E * n_ro,) + tile),
                              jnp.uint32)
         u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
         acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
-        for i in range(n_ro):
-            acts_ref[t * n_ro + i] = acts[i]
-        u = _uniform24((n_rt,) + tile)
-        for j in range(n_rt):
-            dems_ref[t * n_rt + j] = _invert_poisson(u[j], cdf_tables[j])
+        for i in range(E * n_ro):
+            acts_ref[t * E * n_ro + i] = acts[i]
+        u = _uniform24((E * n_rt,) + tile)
+        for j in range(E * n_rt):
+            dems_ref[t * E * n_rt + j] = _invert_poisson(
+                u[j], cdf_tables[j % n_rt])
 
 
 def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
                                 batch: int, num_steps: int = None,
-                                block: int = 2048, interpret: bool = False):
+                                block: int = 2048, interpret: bool = False,
+                                episodes_per_lane: int = 1):
     """Random-policy episode returns with NO pre-materialized streams: both
     the uniform actions and the Poisson demand are sampled inside the kernel
     (hardware PRNG + compile-time CDF inversion). Poisson retail links only;
-    raises NotImplementedError otherwise. Returns (batch,)."""
+    raises NotImplementedError otherwise.
+
+    ``episodes_per_lane`` > 1 simulates that many independent episodes per
+    lane in one launch (E independent dependency chains pipeline around the
+    sequential-contention ILP ceiling — E=4 measures 3.0x effective
+    throughput, tools/ilp_probe.py). Returns (batch,) for
+    episodes_per_lane=1, else (episodes_per_lane, batch)."""
     T = params.topology
     n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
     lt = max(T.lt_max, 1)
+    E = episodes_per_lane
     num_steps = params.num_periods if num_steps is None else num_steps
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
@@ -344,31 +368,35 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
 
     kernel = partial(_episode_kernel_body_fully_fused, T, params.backlog,
                      n_main, n_ro, n_rt, lt, num_steps, params.alpha,
-                     float(act_hi), cdf_tables)
+                     float(act_hi), cdf_tables, E)
     out = pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro)],
-        out_specs=spec(1),
-        out_shape=jax.ShapeDtypeStruct(shape3(1), jnp.float32),
+        out_specs=spec(E),
+        out_shape=jax.ShapeDtypeStruct(shape3(E), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), X.reshape(shape3(n_main)),
       Y.reshape(shape3(n_ro)), U.reshape(shape3(n_rt)),
       RH.reshape(shape3(lt * n_ro)))
-    return out.reshape(batch)
+    return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
 def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
                          batch: int, num_steps: int = None,
-                         block: int = 2048, interpret: bool = False):
+                         block: int = 2048, interpret: bool = False,
+                         episodes_per_lane: int = 1):
     """The exact action/demand streams episode_returns_fully_fused consumes
     for ``seed`` — for pinning the fused kernel bit-exactly against
     episode_returns / the XLA step chain. Must be called with the same
-    ``block`` as the fused kernel (PRNG consumption is per-tile). Returns
-    (actions (num_steps, n_ro, batch), demands (num_steps, n_rt, batch))."""
+    ``block`` and ``episodes_per_lane`` as the fused kernel (PRNG
+    consumption is per-tile and widened by E). Returns
+    (actions (num_steps, n_ro, batch), demands (num_steps, n_rt, batch))
+    for episodes_per_lane=1, else with an extra E axis after num_steps."""
     T = params.topology
     n_ro, n_rt = T.n_reorder, T.n_retail
+    E = episodes_per_lane
     num_steps = params.num_periods if num_steps is None else num_steps
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
@@ -380,20 +408,23 @@ def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_streams_debug_kernel_body, n_ro, n_rt, num_steps,
-                     float(act_hi), cdf_tables)
+                     float(act_hi), cdf_tables, E)
     acts, dems = pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[spec(num_steps * n_ro), spec(num_steps * n_rt)],
+        out_specs=[spec(num_steps * E * n_ro), spec(num_steps * E * n_rt)],
         out_shape=[
-            jax.ShapeDtypeStruct(shape3(num_steps * n_ro), jnp.float32),
-            jax.ShapeDtypeStruct(shape3(num_steps * n_rt), jnp.float32),
+            jax.ShapeDtypeStruct(shape3(num_steps * E * n_ro), jnp.float32),
+            jax.ShapeDtypeStruct(shape3(num_steps * E * n_rt), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1))
-    return (acts.reshape(num_steps, n_ro, batch),
-            dems.reshape(num_steps, n_rt, batch))
+    if E == 1:
+        return (acts.reshape(num_steps, n_ro, batch),
+                dems.reshape(num_steps, n_rt, batch))
+    return (acts.reshape(num_steps, E, n_ro, batch),
+            dems.reshape(num_steps, E, n_rt, batch))
 
 
 def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,

@@ -141,6 +141,7 @@ class TestDiscreteCdfTable:
             dist.discrete_cdf_table(dist.USER, {})
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
 def test_im_fused_kernel_pinned_by_dumped_streams():
@@ -156,6 +157,7 @@ def test_im_fused_kernel_pinned_by_dumped_streams():
     np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
 def test_fused_kernel_pinned_by_dumped_streams():
@@ -168,3 +170,56 @@ def test_fused_kernel_pinned_by_dumped_streams():
         params, seed, hi, B, block=1024))
     pre = np.asarray(pns.episode_returns(params, acts, dems, block=512))
     np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_fused_kernel_interleaved_episodes_pinned():
+    """episodes_per_lane=2: each interleaved episode reproduces through the
+    pre-materialized kernel on the widened dumped streams."""
+    params = net.default_params(num_periods=8)
+    hi = float(params.topology.order_cap_heuristic * 2)
+    seed = jnp.asarray(21, jnp.int32)
+    B, E = 1024, 2
+    acts, dems = pns.sample_streams_debug(params, seed, hi, B, block=1024,
+                                          episodes_per_lane=E)
+    fused = np.asarray(pns.episode_returns_fully_fused(
+        params, seed, hi, B, block=1024, episodes_per_lane=E))
+    assert fused.shape == (E, B)
+    for e in range(E):
+        pre = np.asarray(pns.episode_returns(params, acts[:, e], dems[:, e],
+                                             block=512))
+        np.testing.assert_allclose(fused[e], pre, rtol=1e-5, atol=1e-3)
+    # independent episodes: not identical across e
+    assert np.abs(fused[0] - fused[1]).max() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_nv_fused_kernel_pinned_by_dumped_streams():
+    """The fully-fused Newsvendor kernel (in-kernel dynamic-mu Poisson
+    inversion) reproduces through the pre-materialized-stream kernel on its
+    own dumped streams, and the dumped demand stream tracks the per-lane
+    Poisson mean."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = nv.default_params(step_limit=12)
+    B = 1024
+    econ = jax.vmap(lambda k: nv.draw_econ(params, k), out_axes=1)(
+        jax.random.split(jax.random.PRNGKey(5), B))
+    seed = jnp.asarray(13, jnp.int32)
+    acts, dems = pek.sample_streams_debug_nv(params, econ, seed, block=1024)
+    fused = np.asarray(pek.episode_returns_nv_fused(params, econ, seed,
+                                                    block=1024))
+    pre = np.asarray(pek.episode_returns_nv(params, econ, acts, dems,
+                                            block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+    # demand stream is Poisson(mu_lane): per-lane mean tracks econ[4]
+    mu = np.asarray(econ[4])
+    lane_mean = np.asarray(dems).mean(axis=0)
+    resid = lane_mean - mu
+    # 12 samples/lane: se = sqrt(mu/12); allow 6 sigma across 1024 lanes
+    assert (np.abs(resid) <= 6 * np.sqrt(np.maximum(mu, 1e-3) / 12) + 1e-2
+            ).mean() > 0.999
