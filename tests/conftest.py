@@ -4,21 +4,29 @@ Multi-chip sharding tests emulate a TPU slice via
 ``--xla_force_host_platform_device_count`` (the standard JAX recipe for
 testing pjit/shard_map layouts without hardware). Must be set before jax
 imports anywhere.
+
+Exception: the TPU test lane (``tools/run_tpu_tests.py``) sets
+OGT_TPU_TESTS=1 to keep the attached TPU backend so that the
+hardware-PRNG-gated exactness tests (marked ``tpu``) actually execute.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_LANE = os.environ.get("OGT_TPU_TESTS") == "1"
+
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so
 # env vars alone are too late — force the platform via config as well.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
