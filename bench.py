@@ -34,7 +34,10 @@ from or_gym_inventory_tpu.vector import vecenv
 
 REFERENCE_STEPS_PER_S = 78.0  # BASELINE.md: NetInvMgmtBacklogEnv, 2-vCPU host
 
-NUM_ENVS_PALLAS = 1_048_576
+NUM_ENVS_PALLAS = 4_194_304  # 4M lanes amortize the ~20-25 ms relay floor
+                             # (OGT_BATCH=4194304 tools/ilp_probe.py: 2.0x
+                             # over 1M lanes at E=4; 8M+ risks the relay
+                             # remote-compile hang, CLAUDE.md)
 EPISODES_PER_LANE = 4   # independent episodes per lane: breaks the serial
                         # contention-chain ILP ceiling (tools/ilp_probe.py:
                         # E=2 -> 1.84x, E=4 -> 3.01x effective steps/s)

@@ -110,14 +110,26 @@ def main():
         seed = jax.random.randint(k2, (), 0, 2**31 - 1)
         return pek.episode_returns_im_random(pi, dems, seed, block=1024).sum()
 
+    def im_fused(key, batch):
+        # fully-fused: actions AND Poisson demand sampled in-kernel,
+        # 4 independent episodes interleaved per lane (ILP pipelining —
+        # PERFORMANCE.md "the ILP ceiling measured, then broken")
+        E = 4
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        return pek.episode_returns_im_fused(pi, seed, batch // E, block=2048,
+                                            episodes_per_lane=E).sum()
+
     def im_check():
         k = jax.random.PRNGKey(7)
         a = float(jax.jit(lambda k: im_xla(k, 262144))(k)) / 262144
         b = float(jax.jit(lambda k: im_kernel(k, 262144))(k)) / 262144
+        c = float(jax.jit(lambda k: im_fused(k, 262144))(k)) / 262144
         print(json.dumps({"env": "inv_mgmt", "check_mean_xla": round(a, 1),
-                          "check_mean_kernel": round(b, 1)}), flush=True)
+                          "check_mean_kernel": round(b, 1),
+                          "check_mean_fused": round(c, 1)}), flush=True)
 
-    bench("inv_mgmt", pi.periods, im_xla, im_kernel, im_check)
+    bench("inv_mgmt", pi.periods, im_xla, im_kernel, im_check,
+          fused_fn=im_fused)
 
 
 if __name__ == "__main__":

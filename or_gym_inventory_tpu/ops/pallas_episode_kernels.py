@@ -521,90 +521,128 @@ def _im_demand_spec(params: InvManagementParams):
     return dist.discrete_cdf_table(params.dist, params.dist_param_dict)
 
 
-def _im_sample_actions(params, tile):
-    u = _uniform01((params.m1,) + tile)
-    return [jnp.minimum((u[i] * float(params.c[i] + 1)).astype(jnp.int32),
-                        jnp.int32(params.c[i])) for i in range(params.m1)]
+def _im_sample_actions(params, tile, n_episodes=1):
+    """One PRNG draw covering ``n_episodes`` interleaved episodes' actions
+    (episode e, stage i at index e*m1+i). n_episodes=1 draws the exact same
+    stream as the pre-interleave kernel."""
+    m1 = params.m1
+    u = _uniform01((n_episodes * m1,) + tile)
+    return [jnp.minimum((u[i] * float(params.c[i % m1] + 1)
+                         ).astype(jnp.int32),
+                        jnp.int32(params.c[i % m1]))
+            for i in range(n_episodes * m1)]
 
 
-def _im_sample_demand(params, tile, t, spec):
+def _im_sample_demand(params, tile, t, spec, n_episodes=1):
+    """List of ``n_episodes`` demand rows for period ``t``. The n_episodes=1
+    draw shape is kept identical to the pre-interleave kernel (PRNG
+    bit->lane assignment depends on the requested shape)."""
     if spec is None:  # USER: deterministic per period, no PRNG draw
         v = int(params.user_D[t]) if t < len(params.user_D) else 0
-        return jnp.full(tile, v, jnp.int32)
+        return [jnp.full(tile, v, jnp.int32)] * n_episodes
     base, table = spec
-    return _invert_discrete_i32(_uniform01(tile), base, table)
+    if n_episodes == 1:
+        us = [_uniform01(tile)]
+    else:
+        us = list(_uniform01((n_episodes,) + tile))
+    return [_invert_discrete_i32(u, base, table) for u in us]
 
 
 def _im_fused_kernel(params: InvManagementParams, num_steps, spec,
-                     seed_ref, rew_ref):
+                     n_episodes, seed_ref, rew_ref):
     """Whole episode with actions AND demand sampled on-core; (rows, sub,
     128) native-tile layout (see ops/pallas_net_step.py — same design,
     measured there at 14.7x the pre-sampled round-1 path combined with the
-    in-kernel demand)."""
+    in-kernel demand).
+
+    ``n_episodes`` simulates that many INDEPENDENT episodes per lane,
+    interleaved per period — E independent dependency chains pipeline
+    around the serial per-period event chain exactly as in the NetInvMgmt
+    kernel (PERFORMANCE.md "the ILP ceiling measured, then broken")."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
     m1, lt = params.m1, params.lt_max
     tile = rew_ref.shape[1:]
     zero = jnp.zeros(tile, jnp.int32)
-    inv = [jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
-    bkl = [zero for _ in range(params.num_stages)]
-    RH = [zero for _ in range(lt * m1)]
-    total = jnp.zeros(tile, jnp.float32)
+    inv = [[jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
+           for _ in range(E)]
+    bkl = [[zero for _ in range(params.num_stages)] for _ in range(E)]
+    RH = [[zero for _ in range(lt * m1)] for _ in range(E)]
+    total = [jnp.zeros(tile, jnp.float32) for _ in range(E)]
     for t in range(num_steps):
-        act = _im_sample_actions(params, tile)
-        d = _im_sample_demand(params, tile, t, spec)
-        inv, bkl, RH, _, profit = _im_step_math(
-            params, t, inv, bkl, RH, act, d)
-        total = total + (params.alpha ** t) * profit
-    rew_ref[0] = total
+        acts = _im_sample_actions(params, tile, E)
+        dems = _im_sample_demand(params, tile, t, spec, E)
+        for e in range(E):
+            inv[e], bkl[e], RH[e], _, profit = _im_step_math(
+                params, t, inv[e], bkl[e], RH[e],
+                acts[e * m1:(e + 1) * m1], dems[e])
+            total[e] = total[e] + (params.alpha ** t) * profit
+    for e in range(E):
+        rew_ref[e] = total[e]
 
 
 def _im_streams_debug_kernel(params: InvManagementParams, num_steps, spec,
-                             seed_ref, acts_ref, dems_ref):
+                             n_episodes, seed_ref, acts_ref, dems_ref):
     """Replays _im_fused_kernel's exact PRNG consumption order (per period:
-    action draws then demand draw) and dumps both streams for pinning."""
+    all E*m1 action draws then all E demand draws) and dumps both streams
+    for pinning."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
     m1 = params.m1
     tile = dems_ref.shape[1:]
     for t in range(num_steps):
-        act = _im_sample_actions(params, tile)
-        for i in range(m1):
-            acts_ref[t * m1 + i] = act[i]
-        dems_ref[t] = _im_sample_demand(params, tile, t, spec)
+        acts = _im_sample_actions(params, tile, E)
+        for i in range(E * m1):
+            acts_ref[t * E * m1 + i] = acts[i]
+        dems = _im_sample_demand(params, tile, t, spec, E)
+        for e in range(E):
+            dems_ref[t * E + e] = dems[e]
 
 
 def episode_returns_im_fused(params: InvManagementParams, seed,
                              batch: int, block: int = 2048,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             episodes_per_lane: int = 1):
     """Random-policy episode returns with NO pre-materialized streams —
     uniform-int actions AND demand (all four stochastic reference dist
     modes, via exact compile-time CDF inversion; USER mode baked as
-    per-period constants) sampled inside the kernel. Returns (batch,)."""
+    per-period constants) sampled inside the kernel.
+
+    ``episodes_per_lane`` > 1 simulates that many independent episodes per
+    lane in one launch (same ILP-pipelining win as the NetInvMgmt kernel —
+    tools/ilp_probe.py). Returns (batch,) for episodes_per_lane=1, else
+    (episodes_per_lane, batch)."""
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
+    E = episodes_per_lane
     spec = _im_demand_spec(params)
-    kernel = partial(_im_fused_kernel, params, params.periods, spec)
+    kernel = partial(_im_fused_kernel, params, params.periods, spec, E)
     out = pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, sub, 128), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((E, sub, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, batch // 128, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E, batch // 128, 128), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1))
-    return out.reshape(batch)
+    return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
 def sample_streams_debug_im(params: InvManagementParams, seed, batch: int,
-                            block: int = 2048, interpret: bool = False):
+                            block: int = 2048, interpret: bool = False,
+                            episodes_per_lane: int = 1):
     """The exact action/demand streams episode_returns_im_fused consumes for
-    ``seed`` (same ``block`` required — PRNG consumption is per-tile).
-    Returns (actions (T, m1, batch) i32, demands (T, batch) i32)."""
+    ``seed`` (same ``block`` and ``episodes_per_lane`` required — PRNG
+    consumption is per-tile and per-draw-shape).
+    Returns (actions (T, m1, batch) i32, demands (T, batch) i32) for
+    episodes_per_lane=1, else (T, E, m1, batch) / (T, E, batch)."""
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
+    E = episodes_per_lane
     T, m1 = params.periods, params.m1
     spec = _im_demand_spec(params)
-    kernel = partial(_im_streams_debug_kernel, params, T, spec)
+    kernel = partial(_im_streams_debug_kernel, params, T, spec, E)
 
     def ospec(rows):
         return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
@@ -614,11 +652,13 @@ def sample_streams_debug_im(params: InvManagementParams, seed, batch: int,
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[ospec(T * m1), ospec(T)],
+        out_specs=[ospec(T * E * m1), ospec(T * E)],
         out_shape=[
-            jax.ShapeDtypeStruct((T * m1, batch // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((T, batch // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T * E * m1, batch // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T * E, batch // 128, 128), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1))
-    return (acts.reshape(T, m1, batch), dems.reshape(T, batch))
+    if E == 1:
+        return (acts.reshape(T, m1, batch), dems.reshape(T, batch))
+    return (acts.reshape(T, E, m1, batch), dems.reshape(T, E, batch))

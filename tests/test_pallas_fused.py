@@ -160,6 +160,32 @@ def test_im_fused_kernel_pinned_by_dumped_streams():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_im_fused_kernel_interleaved_episodes_pinned():
+    """episodes_per_lane=2 on the InvManagement fused kernel: each
+    interleaved episode reproduces through the pre-materialized kernel on
+    the widened dumped streams (same pinning pattern as the NetInvMgmt
+    interleave test below)."""
+    from or_gym_inventory_tpu.envs import inv_management as im
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = im.default_params(periods=12)
+    seed = jnp.asarray(13, jnp.int32)
+    B, E = 1024, 2
+    acts, dems = pek.sample_streams_debug_im(params, seed, B, block=1024,
+                                             episodes_per_lane=E)
+    fused = np.asarray(pek.episode_returns_im_fused(params, seed, B,
+                                                    block=1024,
+                                                    episodes_per_lane=E))
+    assert fused.shape == (E, B)
+    for e in range(E):
+        pre = np.asarray(pek.episode_returns_im(params, acts[:, e],
+                                                dems[:, e], block=512))
+        np.testing.assert_allclose(fused[e], pre, rtol=1e-5, atol=1e-3)
+    assert np.abs(fused[0] - fused[1]).max() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 def test_fused_kernel_pinned_by_dumped_streams():
     params = net.default_params(num_periods=10)
     hi = float(params.topology.order_cap_heuristic * 2)
