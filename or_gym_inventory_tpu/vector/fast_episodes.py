@@ -39,14 +39,29 @@ def _xla_fallback(env, params, key, batch, num_steps, discount):
 
 
 def random_episode_returns(params, key: jax.Array, batch: int,
-                           block: int = 1024, use_pallas: bool = True):
+                           block: int = 1024, use_pallas: bool = True,
+                           episodes_per_lane: int = 1):
     """Per-episode (discounted) returns under the uniform-random policy.
 
     ``params`` selects the family (NewsvendorParams / InvManagementParams /
-    NetInvParams). Returns a (batch,) float32 array of episode returns.
+    NetInvParams). Returns a (episodes_per_lane * batch,) float32 array of
+    episode returns ((batch,) at the default episodes_per_lane=1).
     ``use_pallas=False`` forces the XLA rollout (also used automatically
     when the kernel path fails to lower, e.g. on CPU).
+
+    ``episodes_per_lane`` multiplies the episodes simulated per call.
+    Episodes are mutually independent in every family, so this is purely a
+    performance knob: on the fused InvManagement/NetInvMgmt kernels it
+    interleaves that many independent episodes per VPU lane (2-3x effective
+    throughput by pipelining around the serial per-period event chain —
+    PERFORMANCE.md "the ILP ceiling measured, then broken"); on the
+    newsvendor kernel and the XLA fallback it simply widens the batch.
     """
+    E = int(episodes_per_lane)
+    if E < 1:
+        raise ValueError(f"episodes_per_lane must be >= 1, got {E}")
+    if E > 1 and isinstance(params, nv.NewsvendorParams):
+        batch, E = batch * E, 1  # no interleaved NV kernel; widen instead
     if isinstance(params, nv.NewsvendorParams):
         def pallas_path():
             from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
@@ -71,10 +86,11 @@ def random_episode_returns(params, key: jax.Array, batch: int,
                 episode_returns_im_fused
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             return episode_returns_im_fused(params, seed, batch,
-                                            block=max(block, 1024))
+                                            block=max(block, 1024),
+                                            episodes_per_lane=E).reshape(-1)
 
         # step rewards are already alpha^t-discounted (reference semantics)
-        xla = lambda: _xla_fallback(im.ENV, params, key, batch,
+        xla = lambda: _xla_fallback(im.ENV, params, key, E * batch,
                                     params.periods, 1.0)
     elif isinstance(params, net.NetInvParams):
         def pallas_path():
@@ -86,10 +102,11 @@ def random_episode_returns(params, key: jax.Array, batch: int,
             T = params.topology
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             hi = float(T.order_cap_heuristic * 2)
-            return episode_returns_fully_fused(params, seed, hi, batch,
-                                               block=block)
+            return episode_returns_fully_fused(
+                params, seed, hi, batch, block=block,
+                episodes_per_lane=E).reshape(-1)
 
-        xla = lambda: _xla_fallback(net.ENV, params, key, batch,
+        xla = lambda: _xla_fallback(net.ENV, params, key, E * batch,
                                     params.num_periods, 1.0)
     else:
         raise TypeError(f"Unknown params type {type(params).__name__}")

@@ -111,3 +111,28 @@ def test_random_episode_returns_dispatch_and_fallback():
     import pytest
     with pytest.raises(TypeError):
         random_episode_returns(object(), jax.random.PRNGKey(0), batch=8)
+
+
+def test_random_episode_returns_episodes_per_lane():
+    """episodes_per_lane widens the returned episode count (E*batch,) for
+    every family — a pure performance knob (kernel interleave on TPU, batch
+    widening on the XLA fallback exercised here)."""
+    import jax
+    import numpy as np
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.envs import inv_management as im
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    from or_gym_inventory_tpu.vector import random_episode_returns
+
+    for params in (nv.default_params(step_limit=6),
+                   im.default_params(periods=5),
+                   net.default_params(num_periods=4)):
+        r = random_episode_returns(params, jax.random.PRNGKey(1), batch=32,
+                                   episodes_per_lane=2)
+        r = np.asarray(r)
+        assert r.shape == (64,) and np.isfinite(r).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        random_episode_returns(nv.default_params(), jax.random.PRNGKey(0),
+                               batch=8, episodes_per_lane=0)
