@@ -38,9 +38,10 @@ NUM_ENVS_PALLAS = 4_194_304  # 4M lanes amortize the ~20-25 ms relay floor
                              # (OGT_BATCH=4194304 tools/ilp_probe.py: 2.0x
                              # over 1M lanes at E=4; 8M+ risks the relay
                              # remote-compile hang, CLAUDE.md)
-EPISODES_PER_LANE = 4   # independent episodes per lane: breaks the serial
+EPISODES_PER_LANE = 8   # independent episodes per lane: breaks the serial
                         # contention-chain ILP ceiling (tools/ilp_probe.py:
-                        # E=2 -> 1.84x, E=4 -> 3.01x effective steps/s)
+                        # E=2 -> 1.84x, E=4 -> 3.01x at 1M lanes; at the 4M
+                        # operating point E=8 measures 8.50B vs E=4's 6.98B)
 PALLAS_BLOCK = 1024
 NUM_ENVS_XLA = 262_144
 NUM_STEPS = 30
@@ -102,17 +103,21 @@ def _crosscheck_kernel(params):
             f"kernel on its own dumped streams (max |diff| = {worst:.4g})")
 
     # the interleaved-episode path (the timed configuration) must reproduce
-    # per episode through the pre-materialized kernel as well
+    # per episode through the pre-materialized kernel as well. The dump
+    # kernel materializes T*E*(n_ro+n_rt) rows in VMEM, so the E-widened
+    # check runs at 1024 envs (4096 at E=8 exceeds the 16 MB scoped-vmem
+    # stack limit — the TIMED kernel has no such buffer and is unaffected).
     E = EPISODES_PER_LANE
+    ce_envs = 1024
     acts_e, dems_e = jax.jit(
         pk.sample_streams_debug,
         static_argnames=("act_hi", "batch", "block", "episodes_per_lane"))(
-            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=1024,
+            params, seed, act_hi=hi, batch=ce_envs, block=1024,
             episodes_per_lane=E)
     multi_ret = np.asarray(jax.jit(
         pk.episode_returns_fully_fused,
         static_argnames=("act_hi", "batch", "block", "episodes_per_lane"))(
-            params, seed, act_hi=hi, batch=CROSSCHECK_ENVS, block=1024,
+            params, seed, act_hi=hi, batch=ce_envs, block=1024,
             episodes_per_lane=E))
     for e in range(E):
         per = jax.jit(pk.episode_returns, static_argnames="block")(

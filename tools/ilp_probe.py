@@ -51,7 +51,8 @@ def main():
     params = net.default_params(num_periods=NUM_STEPS)
     hi = float(params.topology.order_cap_heuristic * 2)
     baseline = None
-    for E in (1, 2, 4):
+    import os as _os
+    for E in tuple(int(x) for x in _os.environ.get("OGT_E", "1,2,4").split(",")):
         for block in (1024, 2048):
             @jax.jit
             def run(key, E=E, block=block):

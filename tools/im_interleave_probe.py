@@ -31,10 +31,13 @@ def time_fn(f, n=4):
     return min(ts)
 
 
+E_LIST = tuple(int(x) for x in __import__("os").environ.get("OGT_E", "1,2,4").split(","))
+
+
 def main():
     p = im.default_params()
     for lanes in (1 << 20, 1 << 22):
-        for E in (1, 2, 4):
+        for E in E_LIST:
             for block in (1024, 2048):
                 fn = jax.jit(lambda s, E=E, lanes=lanes, block=block:
                              pek.episode_returns_im_fused(
