@@ -106,3 +106,40 @@ def sharded_evaluate(env: Environment, params, policy_fn: Callable,
     keys = jax.random.split(key, n_dev)
     totals, mean = jax.jit(fn)(keys)
     return totals, mean
+
+
+def sharded_random_episode_returns(params, key: jax.Array, num_envs: int,
+                                   mesh: Optional[Mesh] = None,
+                                   axis_name: str = "env", block: int = 1024,
+                                   use_pallas: bool = True,
+                                   episodes_per_lane: int = 1):
+    """``vector.random_episode_returns`` sharded over a device mesh — the
+    multi-chip form of the headline fused-episode-kernel workload.
+
+    ``num_envs`` is the GLOBAL lane count; each device runs
+    num_envs/n_devices lanes through its family's fused whole-episode
+    Pallas kernel (XLA fallback off-TPU) with an independently folded key.
+    Env shards never communicate — the only collective is a ``pmean`` of
+    the per-shard mean return (a scalar sanity statistic), so throughput
+    scales linearly with chips over ICI. Returns (per-episode returns
+    gathered along the env axis, shape (episodes_per_lane * num_envs,);
+    global mean scalar).
+    """
+    from or_gym_inventory_tpu.vector.fast_episodes import \
+        random_episode_returns
+    mesh = mesh or make_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    local = num_envs // n_dev
+
+    def per_device(key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+        rets = random_episode_returns(params, key, local, block=block,
+                                      use_pallas=use_pallas,
+                                      episodes_per_lane=episodes_per_lane)
+        return rets, jax.lax.pmean(jnp.mean(rets), axis_name)
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=P(axis_name),
+                       out_specs=(P(axis_name), P()), check_vma=False)
+    keys = jax.random.split(key, n_dev)
+    return jax.jit(fn)(keys)

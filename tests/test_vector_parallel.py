@@ -71,6 +71,21 @@ def test_sharded_evaluate_matches_mean():
     np.testing.assert_allclose(float(mean), np.asarray(totals).mean(), rtol=1e-5)
 
 
+def test_sharded_random_episode_returns():
+    """The headline fused-episode workload sharded over the 8-device mesh:
+    per-episode returns gather along the env axis ((E*num_envs,)), the only
+    collective is the pmean sanity scalar, and shards draw independent
+    episodes (folded keys). XLA fallback path on the CPU mesh."""
+    params = im.default_params(periods=6)
+    rets, mean = pmesh.sharded_random_episode_returns(
+        params, jax.random.PRNGKey(6), num_envs=32, episodes_per_lane=2)
+    rets = np.asarray(rets)
+    assert rets.shape == (64,) and np.isfinite(rets).all()
+    np.testing.assert_allclose(float(mean), rets.mean(), rtol=1e-5)
+    # 4 lanes/device: per-device means must not all coincide
+    assert len({round(float(x), 3) for x in rets.reshape(8, 8).mean(1)}) > 1
+
+
 def test_device_shards_are_independent():
     """Same global key, different device -> different episodes (folded keys)."""
     params = nv.default_params()
