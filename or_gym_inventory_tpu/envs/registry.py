@@ -87,12 +87,19 @@ def _register_builtins():
                         partial(im.default_params, backlog=False))
     register_functional("NetInvMgmtBacklog-v0", net.ENV,
                         partial(net.default_params, backlog=True))
+    # The reference's NetInvMgmt LostSales subclasses DE FACTO run
+    # backlog=True: the master __init__ force-overwrites
+    # env_config['backlog'] with its kwarg and the subclasses set backlog
+    # only via env_config (QUIRKS.md #1; network_management.py:83-85,
+    # :747-761). The functional registrations must match the adapters (and
+    # the reference's own RLlib register_env path), or agents built by
+    # name train on dynamics the eval env never runs.
     register_functional("NetInvMgmtLostSales-v0", net.ENV,
-                        partial(net.default_params, backlog=False))
+                        partial(net.default_params, backlog=True))
     register_functional("NetInvMgmtCustomBacklog-v0", net.ENV,
                         partial(_net_custom_params, backlog=True))
     register_functional("NetInvMgmtCustomLostSales-v0", net.ENV,
-                        partial(_net_custom_params, backlog=False))
+                        partial(_net_custom_params, backlog=True))
 
 
 _register_builtins()

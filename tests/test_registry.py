@@ -31,6 +31,17 @@ def test_unknown_env_raises():
         registry.make("Nope-v0")
 
 
+def test_net_lost_sales_functional_matches_adapter_quirk():
+    """QUIRKS.md #1: the reference's NetInvMgmt LostSales subclasses de
+    facto run backlog=True. The functional registration must agree with
+    the adapter, or make_agent-built learners train on dynamics the eval
+    env never runs (this bit was backlog=False until round 3)."""
+    for name in ["NetInvMgmtLostSales-v0", "NetInvMgmtCustomLostSales-v0",
+                 "NetInvMgmtBacklog-v0", "NetInvMgmtCustomBacklog-v0"]:
+        _, params = registry.make_functional(name)
+        assert params.backlog is True, name
+
+
 def test_make_agent_by_name(tmp_path):
     agent = make_agent("PPO", "Newsvendor-v0",
                        config_updates={"lr": 1e-4, "num_envs": 8,
