@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import benchmark_net_inv_backlog as nb
 from or_gym_inventory_tpu.bench.runner import run_benchmark
 from or_gym_inventory_tpu.envs import adapters as ad
+from or_gym_inventory_tpu.envs import net_inv_management as net
 
 ENV_NAME_SHORT = "NetInvMgmtLS"
 N_EVAL_EPISODES = int(os.environ.get("OGT_EPISODES", 20))
@@ -34,6 +35,6 @@ if __name__ == "__main__":
                   ad.NetInvMgmtCustomLostSalesEnv, ENV_CONFIG,
                   N_EVAL_EPISODES, SEED_OFFSET, RL_TRAINING_TIMESTEPS,
                   results_dir=f"./benchmark_results_{ENV_NAME_SHORT}",
-                  log_dir=nb.LOG_DIR, fast=FAST, env=None,
+                  log_dir=nb.LOG_DIR, fast=FAST, env=net.ENV,
                   params=nb.params_factory(ENV_CONFIG))
     print("\nBenchmark script finished.")

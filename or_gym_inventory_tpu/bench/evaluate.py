@@ -160,7 +160,9 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
     episode-for-episode comparable with the host path's Seed column.
 
     Operational metrics come from the stacked trajectory infos. Wall time is
-    the single program execution divided across episodes.
+    one WARM program execution divided across episodes; trace+compile cost is
+    reported separately as ``compile_seconds`` (never folded into Time /
+    steps_per_second).
     """
     policy = agent.device_policy(env, params)
     if policy is None:
@@ -168,9 +170,21 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
                          "use evaluate_agent instead")
     policy_state = None
     episode_seeds = seed + np.arange(n_episodes)
+    seeds_dev = jax.numpy.asarray(episode_seeds)
+    run = jax.jit(lambda s: vecenv.evaluate_episodes_seeded(
+        env, params, policy, policy_state, s))
+    # Warm up (trace + compile) BEFORE the timed execution: on this
+    # container's remote-compile TPU backend a cold first call can take
+    # minutes, which must not be attributed to episode Time. The program is
+    # deterministic in ``seeds_dev``, so the warm call reproduces the same
+    # result. Host-fetch (np.asarray) rather than block_until_ready — see
+    # bench.py's measurement note on the relayed backend.
     start = time.perf_counter()
-    totals, traj = vecenv.evaluate_episodes_seeded(
-        env, params, policy, policy_state, jax.numpy.asarray(episode_seeds))
+    totals, traj = run(seeds_dev)
+    np.asarray(totals)
+    compile_seconds = time.perf_counter() - start
+    start = time.perf_counter()
+    totals, traj = run(seeds_dev)
     totals = np.asarray(totals)
     elapsed = time.perf_counter() - start
 
@@ -212,4 +226,5 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
         "AvgEndingInv": float(end_inv[i]), "Error": None,
     } for i in range(n_episodes)]
     return {"summary": pd.DataFrame(rows), "details": [],
-            "steps_per_second": n_episodes * horizon / elapsed}
+            "steps_per_second": n_episodes * horizon / elapsed,
+            "compile_seconds": compile_seconds}

@@ -131,6 +131,19 @@ def sharded_random_episode_returns(params, key: jax.Array, num_envs: int,
     n_dev = mesh.devices.size
     assert num_envs % n_dev == 0, (num_envs, n_dev)
     local = num_envs // n_dev
+    # The fused episode kernels require local % block == 0 with block a
+    # multiple of 1024 (native (8, 128) f32 tiles). Fix the block up front —
+    # largest valid divisor of the PER-DEVICE lane count — rather than
+    # letting the kernel assert fire on a real mesh; with no valid block
+    # (local not a multiple of 1024) take the XLA rollout path instead.
+    if use_pallas:
+        start = min(block, local) // 1024 * 1024
+        fixed = next((b for b in range(start, 0, -1024) if local % b == 0),
+                     None)
+        if fixed is None:
+            use_pallas = False
+        else:
+            block = fixed
 
     def per_device(key):
         key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))

@@ -82,8 +82,10 @@ def test_sharded_random_episode_returns():
     rets = np.asarray(rets)
     assert rets.shape == (64,) and np.isfinite(rets).all()
     np.testing.assert_allclose(float(mean), rets.mean(), rtol=1e-5)
-    # 4 lanes/device: per-device means must not all coincide
-    assert len({round(float(x), 3) for x in rets.reshape(8, 8).mean(1)}) > 1
+    # per-device means must not all coincide (independent folded keys)
+    n_dev = jax.device_count()
+    per_dev = rets.reshape(n_dev, rets.size // n_dev).mean(1)
+    assert len({round(float(x), 3) for x in per_dev}) > 1
 
 
 def test_device_shards_are_independent():
