@@ -351,6 +351,155 @@ def episode_returns_nv_fused(params: NewsvendorParams, econ, seed,
     return out.reshape(econ.shape[1])
 
 
+# ------------------- reset-fused Newsvendor (econ drawn in-kernel as well)
+#
+# The newsvendor episode draws its economics (price, cost, h, k, mu) at
+# reset (reference newsvendor.py:105-111). The econ-input kernel above has
+# XLA sample them and stream (5, B) from HBM — fine at E=1, but interleaving
+# E episodes per lane would put the reset tensor back on the HBM path
+# (5*E*B f32: 640 MB at 4M lanes x E=8, as large as the demand stream the
+# fused kernel exists to eliminate). This variant draws the five conditional
+# uniforms on-core instead, making the whole episode — reset included —
+# PRNG-seed-pure with zero per-lane input traffic, and interleaves
+# ``episodes_per_lane`` independent episodes exactly like the
+# InvManagement/NetInvMgmt fused kernels.
+
+def _nv_econ_from_uniforms(params: NewsvendorParams, u5):
+    """The reset's 5 sequential conditional uniforms (newsvendor.py:105-111)
+    applied to in-kernel uniform draws; same formulas as draw_econ (same
+    distribution as the XLA reset; hardware-PRNG stream)."""
+    price = jnp.maximum(1.0, u5[0] * params.p_max)
+    cost = jnp.maximum(1.0, u5[1] * price)
+    h = u5[2] * jnp.minimum(cost, params.h_max)
+    k = u5[3] * params.k_max
+    mu = u5[4] * params.mu_max
+    return price, cost, h, k, mu
+
+
+def _nv_reset_fused_kernel(params: NewsvendorParams, num_steps, K, chunk,
+                           n_episodes, seed_ref, rew_ref):
+    """Whole episode with econ, actions AND demand all sampled on-core.
+
+    PRNG consumption order (the streams-debug kernel below replays it
+    verbatim): per episode a (5, tile) econ draw; then per demand chunk one
+    (E*n, tile) uniform draw (episode-major rows e*n+i); then per period,
+    per episode, one (tile,) action draw. ``n_episodes`` interleaves that
+    many independent episodes per lane (independent econ, actions, demand)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
+    tile = rew_ref.shape[1:]
+    L = params.lead_time
+    econ, setup = [], []
+    for _ in range(E):
+        econ.append(_nv_econ_from_uniforms(params, _uniform01((5,) + tile)))
+        setup.append(_nv_poisson_setup(params, econ[-1][4]))
+    P = [[jnp.zeros(tile, jnp.float32) for _ in range(L)] for _ in range(E)]
+    total = [jnp.zeros(tile, jnp.float32) for _ in range(E)]
+    for t0 in range(0, num_steps, chunk):
+        n = min(chunk, num_steps - t0)
+        du = _uniform01((E * n,) + tile)
+        ds = [_nv_poisson_invert(*setup[e], K, [du[e * n + i]
+                                               for i in range(n)])
+              for e in range(E)]
+        for i in range(n):
+            for e in range(E):
+                order_raw = _uniform01(tile) * params.max_order_quantity
+                price, cost, h, k, _mu = econ[e]
+                P[e], reward = _nv_step_math(params, P[e], price, cost, h, k,
+                                             order_raw, ds[e][i])
+                total[e] = total[e] + (params.gamma ** (t0 + i)) * reward
+    for e in range(E):
+        rew_ref[e] = total[e]
+
+
+def _nv_reset_streams_debug_kernel(params: NewsvendorParams, num_steps, K,
+                                   chunk, n_episodes, seed_ref, econ_ref,
+                                   acts_ref, dems_ref):
+    """Replays _nv_reset_fused_kernel's exact PRNG consumption order and
+    dumps econ (5*E rows, episode-major), action and demand streams
+    (num_steps*E rows, period-major then episode)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
+    tile = dems_ref.shape[1:]
+    setup = []
+    for e in range(E):
+        econ = _nv_econ_from_uniforms(params, _uniform01((5,) + tile))
+        for i in range(5):
+            econ_ref[e * 5 + i] = econ[i]
+        setup.append(_nv_poisson_setup(params, econ[4]))
+    for t0 in range(0, num_steps, chunk):
+        n = min(chunk, num_steps - t0)
+        du = _uniform01((E * n,) + tile)
+        ds = [_nv_poisson_invert(*setup[e], K, [du[e * n + i]
+                                               for i in range(n)])
+              for e in range(E)]
+        for i in range(n):
+            for e in range(E):
+                acts_ref[(t0 + i) * E + e] = (_uniform01(tile)
+                                              * params.max_order_quantity)
+                dems_ref[(t0 + i) * E + e] = ds[e][i]
+
+
+def _nv_reset_fused_call(params, kernel_body, seed, out_rows, batch, block,
+                         demand_chunk, n_episodes, interpret):
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    _Wb, K, _lg = _nv_window(params)
+    kernel = partial(kernel_body, params, params.step_limit, K, demand_chunk,
+                     n_episodes)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[spec(r) for r in out_rows] if len(out_rows) > 1
+        else spec(out_rows[0]),
+        out_shape=[jax.ShapeDtypeStruct((r, batch // 128, 128), jnp.float32)
+                   for r in out_rows] if len(out_rows) > 1
+        else jax.ShapeDtypeStruct((out_rows[0], batch // 128, 128),
+                                  jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+
+
+def episode_returns_nv_reset_fused(params: NewsvendorParams, seed,
+                                   batch: int, block: int = 2048,
+                                   demand_chunk: int = 16,
+                                   interpret: bool = False,
+                                   episodes_per_lane: int = 1):
+    """Random-policy Newsvendor episode returns with the RESET fused too:
+    econ, actions, and per-lane dynamic-mu Poisson demand are all sampled
+    inside the kernel — zero per-lane HBM input. ``episodes_per_lane`` > 1
+    interleaves that many independent episodes per lane in one launch.
+    Returns (batch,) for episodes_per_lane=1, else (episodes_per_lane,
+    batch). This is the production dispatcher's Newsvendor path
+    (vector.fast_episodes.random_episode_returns)."""
+    E = episodes_per_lane
+    out = _nv_reset_fused_call(params, _nv_reset_fused_kernel, seed, (E,),
+                               batch, block, demand_chunk, E, interpret)
+    return out.reshape(batch) if E == 1 else out.reshape(E, batch)
+
+
+def sample_streams_debug_nv_reset(params: NewsvendorParams, seed, batch: int,
+                                  block: int = 2048, demand_chunk: int = 16,
+                                  interpret: bool = False,
+                                  episodes_per_lane: int = 1):
+    """The exact econ/action/demand streams episode_returns_nv_reset_fused
+    consumes for ``seed`` (same block/demand_chunk/episodes_per_lane
+    required — PRNG consumption is per-tile and per-draw-shape). Returns
+    (econ (E, 5, batch), actions (T, E, batch), demands (T, E, batch))."""
+    T, E = params.step_limit, episodes_per_lane
+    econ, acts, dems = _nv_reset_fused_call(
+        params, _nv_reset_streams_debug_kernel, seed, (5 * E, T * E, T * E),
+        batch, block, demand_chunk, E, interpret)
+    return (econ.reshape(E, 5, batch), acts.reshape(T, E, batch),
+            dems.reshape(T, E, batch))
+
+
 def sample_streams_debug_nv(params: NewsvendorParams, econ, seed,
                             block: int = 2048, demand_chunk: int = 16,
                             interpret: bool = False):

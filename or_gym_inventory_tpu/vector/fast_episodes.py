@@ -1,10 +1,11 @@
 """Fastest rollout path: whole-episode returns for a lockstep batch.
 
-One public function dispatches each env family to its whole-episode Pallas
-kernel (state VMEM-resident across the full static horizon, uniform-random
-actions sampled in-kernel by the TPU hardware PRNG; measured 3-5x the XLA
-vmap+scan rollout — PERFORMANCE.md) and falls back to the XLA rollout on
-backends without Pallas TPU support, so callers get one API everywhere.
+One public function dispatches each env family to its FULLY-FUSED
+whole-episode Pallas kernel (state VMEM-resident across the full static
+horizon; actions, demand, and — for newsvendor — the reset economics all
+sampled in-kernel by the TPU hardware PRNG; throughput numbers in
+PERFORMANCE.md) and falls back to the XLA rollout on backends without
+Pallas TPU support, so callers get one API everywhere.
 
 This is the random-policy evaluation workload (the reference's RandomAgent
 benchmark protocol and bench.py's headline). Policy-driven rollouts still go
@@ -51,31 +52,30 @@ def random_episode_returns(params, key: jax.Array, batch: int,
 
     ``episodes_per_lane`` multiplies the episodes simulated per call.
     Episodes are mutually independent in every family, so this is purely a
-    performance knob: on the fused InvManagement/NetInvMgmt kernels it
-    interleaves that many independent episodes per VPU lane (2-3x effective
-    throughput by pipelining around the serial per-period event chain —
-    PERFORMANCE.md "the ILP ceiling measured, then broken"); on the
-    newsvendor kernel and the XLA fallback it simply widens the batch.
+    performance knob: on the fused Pallas kernels it interleaves that many
+    independent episodes per VPU lane (pipelining around each family's
+    serial dependency chains — PERFORMANCE.md "the ILP ceiling measured,
+    then broken"); on the XLA fallback it simply widens the batch. Element
+    ORDERING of the returned array is unspecified and backend-dependent
+    (the Pallas path is episode-major, the fallback a widened batch);
+    episodes are i.i.d., so only the multiset of returns is meaningful —
+    don't pair elements by index across backends.
     """
     E = int(episodes_per_lane)
     if E < 1:
         raise ValueError(f"episodes_per_lane must be >= 1, got {E}")
-    if E > 1 and isinstance(params, nv.NewsvendorParams):
-        batch, E = batch * E, 1  # no interleaved NV kernel; widen instead
     if isinstance(params, nv.NewsvendorParams):
         def pallas_path():
-            from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
-                episode_returns_nv_random)
-            k1, k2, k3 = jax.random.split(key, 3)
-            econ = jax.vmap(lambda k: nv.draw_econ(params, k), out_axes=1)(
-                jax.random.split(k1, batch))
-            dems = jax.random.poisson(
-                k2, econ[4], (params.step_limit, batch)).astype(jnp.float32)
-            seed = jax.random.randint(k3, (), 0, 2**31 - 1)
-            return episode_returns_nv_random(params, econ, dems, seed,
-                                             block=block)
+            # reset-fused: econ, actions AND dynamic-mu Poisson demand all
+            # sampled on-core (per-lane running-pmf CDF inversion)
+            from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+                episode_returns_nv_reset_fused
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            return episode_returns_nv_reset_fused(
+                params, seed, batch, block=max(block, 1024),
+                episodes_per_lane=E).reshape(-1)
 
-        xla = lambda: _xla_fallback(nv.ENV, params, key, batch,
+        xla = lambda: _xla_fallback(nv.ENV, params, key, E * batch,
                                     params.step_limit, params.gamma)
     elif isinstance(params, im.InvManagementParams):
         def pallas_path():

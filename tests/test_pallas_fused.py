@@ -71,14 +71,62 @@ def test_invert_poisson_is_exact_inversion_pmf():
     np.testing.assert_allclose(counts / float(1 << 24), pmf, atol=2.0 ** -22)
 
 
-def test_nonpoisson_topology_raises():
+def test_topology_link_specs_cover_every_named_spec():
+    """Every static-parameter retail spec compiles to an inversion table,
+    user/zero bake as per-period constants (the matching uniform row is
+    drawn-and-ignored), and only an arbitrary host callable refuses."""
     import dataclasses
 
     from or_gym_inventory_tpu.envs import topology as topo
     T = topo.default_topology(10)
-    T2 = dataclasses.replace(T, rt_demand=(("user", (1.0,) * 10),))
+
+    def specs_for(rt):
+        return pns._topology_link_specs(
+            dataclasses.replace(T, rt_demand=(rt,)), 10)
+
+    for rt in (("poisson", 20.0), ("binomial", 40, 0.3),
+               ("negbinomial", 5, 0.4), ("randint", 3, 11),
+               ("geometric", 0.25), ("normal", 20.0, 4.0)):
+        (kind, base, table), = specs_for(rt)
+        assert kind == "table" and len(table) >= 1
+        assert all(0.0 <= f <= 1.0 for f in table)
+        assert list(table) == sorted(table)
+
+    (kind, vals), = specs_for(("user", (3.0, 1.0, 4.0)))
+    assert kind == "const" and len(vals) == 10
+    assert vals[:3] == (3.0, 1.0, 4.0) and set(vals[3:]) == {4.0}
+    (kind, vals), = specs_for(("zero",))
+    assert kind == "const" and set(vals) == {0.0}
+
     with pytest.raises(NotImplementedError):
-        pns._topology_cdf_tables(T2)
+        specs_for(("hostfn", lambda **kw: 0, ()))
+
+
+def test_link_demand_inversion_matches_host_distributions():
+    """_link_demand inversion of an exhaustive uniform grid reproduces each
+    distribution's pmf (randint exact-uniform; normal matches Phi; base
+    offsets applied)."""
+    from or_gym_inventory_tpu.ops import distributions as dist
+
+    # randint numpy-exclusive semantics: values low..high-1 uniformly
+    base, table = dist.cdf_table_for_spec(("randint", 2, 6))
+    u = jnp.asarray((np.arange(1 << 10) / float(1 << 10)), jnp.float32)
+    d = np.asarray(pns._link_demand(("table", base, table), u, 0))
+    counts = np.bincount(d.astype(int) - 2, minlength=4)
+    assert counts.min() == counts.max() == (1 << 10) // 4
+    assert d.min() == 2 and d.max() == 5
+
+    # normal(loc=8, scale=2): inversion frequencies track Phi differences
+    base, table = dist.cdf_table_for_spec(("normal", 8.0, 2.0))
+    rng = np.random.default_rng(1)
+    u = (rng.integers(0, 1 << 24, 1 << 16) * 2.0 ** -24).astype(np.float32)
+    d = np.asarray(pns._link_demand(("table", base, table), jnp.asarray(u), 0))
+    from math import erf, sqrt
+    phi = lambda x: 0.5 * (1 + erf((x - 8.0) / (2.0 * sqrt(2))))
+    for k in (5, 8, 11):
+        want = phi(k + 0.5) - phi(k - 0.5)
+        got = float((d == k).mean())
+        assert abs(got - want) < 6 * np.sqrt(want * (1 - want) / (1 << 16))
 
 
 class TestDiscreteCdfTable:
@@ -224,6 +272,61 @@ def test_fused_kernel_interleaved_episodes_pinned():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_fused_kernel_nonpoisson_links_pinned_by_dumped_streams():
+    """The generalized fused demand path: a binomial retail link and a
+    deterministic user-array link both run through the fully-fused kernel
+    and reproduce through the pre-materialized kernel AND the XLA step
+    chain on the dumped streams (reference per-edge demand surface:
+    network_management.py:240-267)."""
+    import dataclasses
+
+    for rt in (("binomial", 40, 0.3), ("randint", 5, 26),
+               ("user", (12.0, 0.0, 31.0, 7.0))):
+        p0 = net.default_params(num_periods=6)
+        T2 = dataclasses.replace(p0.topology, rt_demand=(rt,))
+        params = p0.replace(topology=T2)
+        hi = float(T2.order_cap_heuristic * 2)
+        seed = jnp.asarray(29, jnp.int32)
+        B = 1024
+        acts, dems = pns.sample_streams_debug(params, seed, hi, B, block=1024)
+        fused = np.asarray(pns.episode_returns_fully_fused(
+            params, seed, hi, B, block=1024))
+        pre = np.asarray(pns.episode_returns(params, acts, dems, block=512))
+        np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3,
+                                   err_msg=str(rt))
+        d = np.asarray(dems)
+        if rt[0] == "user":
+            # deterministic: every lane sees the baked per-period value
+            want = np.asarray(rt[1] + (rt[1][-1],) * 2, np.float32)
+            np.testing.assert_array_equal(d[:, 0], np.broadcast_to(
+                want[:, None], (6, B)))
+        elif rt[0] == "randint":
+            assert d.min() >= 5 and d.max() <= 25  # numpy high-exclusive
+        else:
+            assert 0 <= d.min() and d.max() <= 40
+            assert abs(d.mean() - 12.0) < 0.5  # n*p = 12
+
+        # the XLA step chain agrees on the same streams
+        def one_env(acts1, dems1):
+            state, _ = net.reset(params)
+
+            def body(state, ad):
+                a, d = ad
+                state, ts = net.step_with_demand(params, state, a, d)
+                return state, ts.reward
+
+            _, rew = jax.lax.scan(body, state, (acts1, dems1))
+            return jnp.sum(rew)
+
+        x = np.asarray(jax.jit(jax.vmap(one_env, in_axes=(2, 2)))(
+            acts[:, :, :256], dems[:, :, :256]))
+        np.testing.assert_allclose(pre[:256], x, rtol=1e-4, atol=1e-2,
+                                   err_msg=str(rt))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 def test_nv_fused_kernel_pinned_by_dumped_streams():
     """The fully-fused Newsvendor kernel (in-kernel dynamic-mu Poisson
     inversion) reproduces through the pre-materialized-stream kernel on its
@@ -249,3 +352,59 @@ def test_nv_fused_kernel_pinned_by_dumped_streams():
     # 12 samples/lane: se = sqrt(mu/12); allow 6 sigma across 1024 lanes
     assert (np.abs(resid) <= 6 * np.sqrt(np.maximum(mu, 1e-3) / 12) + 1e-2
             ).mean() > 0.999
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_nv_reset_fused_kernel_pinned_by_dumped_streams():
+    """The reset-fused Newsvendor kernel (econ + actions + demand all drawn
+    on-core — the production dispatcher's NV path) reproduces through the
+    pre-materialized-stream kernel on its own dumped streams, and the dumped
+    econ rows satisfy the reset's conditional-uniform constraints
+    (newsvendor.py:105-111)."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = nv.default_params(step_limit=12)
+    B = 1024
+    seed = jnp.asarray(17, jnp.int32)
+    econ, acts, dems = pek.sample_streams_debug_nv_reset(params, seed, B,
+                                                         block=1024)
+    fused = np.asarray(pek.episode_returns_nv_reset_fused(params, seed, B,
+                                                          block=1024))
+    pre = np.asarray(pek.episode_returns_nv(params, econ[0], acts[:, 0],
+                                            dems[:, 0], block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+    e = np.asarray(econ[0])
+    price, cost, h, k, mu = e
+    assert (price >= 1.0).all() and (price <= params.p_max).all()
+    assert (cost >= 1.0).all() and (cost <= np.maximum(price, 1.0)).all()
+    assert (h <= np.minimum(cost, params.h_max) + 1e-5).all()
+    assert (k <= params.k_max).all() and (h >= 0).all() and (k >= 0).all()
+    assert (mu >= 0).all() and (mu <= params.mu_max).all()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_nv_reset_fused_interleaved_episodes_pinned():
+    """episodes_per_lane=2 on the reset-fused Newsvendor kernel: each
+    interleaved episode (own econ draw) reproduces through the
+    pre-materialized kernel on the widened dumped streams."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = nv.default_params(step_limit=12)
+    B, E = 1024, 2
+    seed = jnp.asarray(19, jnp.int32)
+    econ, acts, dems = pek.sample_streams_debug_nv_reset(
+        params, seed, B, block=1024, episodes_per_lane=E)
+    fused = np.asarray(pek.episode_returns_nv_reset_fused(
+        params, seed, B, block=1024, episodes_per_lane=E))
+    assert fused.shape == (E, B)
+    for e in range(E):
+        pre = np.asarray(pek.episode_returns_nv(params, econ[e], acts[:, e],
+                                                dems[:, e], block=512))
+        np.testing.assert_allclose(fused[e], pre, rtol=1e-5, atol=1e-3)
+    # independent episodes draw independent econ: returns differ
+    assert np.abs(fused[0] - fused[1]).max() > 0
+    assert np.abs(np.asarray(econ[0]) - np.asarray(econ[1])).max() > 0
