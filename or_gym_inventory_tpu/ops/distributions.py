@@ -170,6 +170,82 @@ def discrete_cdf_table(dist: int, dist_param: Dict,
                      "(USER mode is deterministic per period)")
 
 
+def cdf_table_for_spec(spec, granularity: float = 2.0 ** -24):
+    """``(base, thresholds)`` for a named retail-link demand spec
+    (envs/topology.Topology.rt_demand) — the compile-time inversion form of
+    every STATIC-parameter distribution the network env supports
+    (network_management.py:240-267 resolves per-edge demand callables; the
+    topology compiler names them).
+
+    Handles ``poisson``/``binomial``/``geometric`` (via
+    ``discrete_cdf_table``), ``randint`` (numpy ``integers`` high-EXCLUSIVE
+    semantics, network_management.py quirk mirrored by
+    net_inv_management.sample_demand), ``negbinomial`` (failures before the
+    n-th success, numpy ``negative_binomial``), and ``normal`` (demand is
+    ``max(0, round(X))`` for X ~ N(loc, scale) — itself a discrete
+    distribution with static parameters: F(k) = Phi((k + 0.5 - loc)/scale)).
+    Returns ``None`` for per-period-DETERMINISTIC specs (``user``/``zero``
+    — bake the values instead, no uniform to invert); raises
+    NotImplementedError for ``hostfn`` (arbitrary host callable — cannot
+    compile to device).
+    """
+    import math
+
+    import numpy as np
+
+    tag = spec[0]
+    if tag in ("user", "zero"):
+        return None
+    if tag == "poisson":
+        return discrete_cdf_table(POISSON, {"mu": spec[1]}, granularity)
+    if tag == "binomial":
+        return discrete_cdf_table(BINOMIAL, {"n": spec[1], "p": spec[2]},
+                                  granularity)
+    if tag == "randint":
+        low, high_ex = int(spec[1]), int(spec[2])
+        return discrete_cdf_table(RANDINT, {"low": low, "high": high_ex - 1},
+                                  granularity)
+    if tag == "geometric":
+        return discrete_cdf_table(GEOMETRIC, {"p": spec[1]}, granularity)
+    if tag == "negbinomial":
+        n, p = float(spec[1]), float(spec[2])
+        if p >= 1.0:
+            return 0, ()
+        F, table = 0.0, []
+        # pmf(0) = p^n; pmf(k+1) = pmf(k) * (1-p) * (n+k) / (k+1); n may be
+        # non-integer (numpy allows real n via the gamma-Poisson mixture)
+        q = float(np.exp(n * np.log(p)))
+        k = 0
+        while True:
+            F += q
+            table.append(F)
+            if 1.0 - F <= granularity or len(table) >= 4096:
+                break
+            q *= (1.0 - p) * (n + k) / (k + 1.0)
+            k += 1
+        return 0, tuple(float(np.float32(v)) for v in table)
+    if tag == "normal":
+        loc, scale = float(spec[1]), float(spec[2])
+        if scale <= 0.0:
+            return max(0, int(round(loc))), ()
+        inv = 1.0 / (scale * math.sqrt(2.0))
+        # start the table 9 sigma below loc (left-tail mass ~1e-19, far
+        # under the 24-bit uniform's resolution) so a large loc doesn't
+        # walk thousands of all-but-zero entries
+        k = base = max(0, int(math.floor(loc - 9.0 * scale)))
+        table = []
+        while True:
+            F = 0.5 * (1.0 + math.erf((k + 0.5 - loc) * inv))
+            table.append(F)
+            if 1.0 - F <= granularity or len(table) >= 4096:
+                break
+            k += 1
+        return base, tuple(float(np.float32(v)) for v in table)
+    raise NotImplementedError(
+        f"no compile-time inversion for demand spec {tag!r} (an arbitrary "
+        "host callable); pre-sample demand or use a named spec")
+
+
 # ------------------------------------------------------------------ quantile
 
 def poisson_cdf(k: jax.Array, mu) -> jax.Array:

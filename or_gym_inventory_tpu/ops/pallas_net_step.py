@@ -223,16 +223,35 @@ def _poisson_cdf_table(lam: float, granularity: float = 2.0 ** -24):
     return tuple(float(np.float32(v)) for v in table)
 
 
-def _topology_cdf_tables(T):
-    """Per-retail-link compile-time CDF tables; Poisson links only."""
-    tables = []
+def _topology_link_specs(T, num_steps):
+    """Per-retail-link compile-time demand plan for the fused kernel.
+
+    Every STATIC-parameter distribution the reference's per-edge demand
+    surface supports (network_management.py:240-267) compiles to
+    ``("table", base, thresholds)`` — exact CDF inversion of one in-kernel
+    uniform against float64-computed thresholds
+    (ops/distributions.cdf_table_for_spec: poisson / binomial / negbinomial
+    / randint / geometric / rounded-clamped normal). Per-period
+    DETERMINISTIC specs (``user`` array / ``zero``) become
+    ``("const", per_period_values)`` — values baked as trace-time constants;
+    the kernel still draws (and ignores) that link's uniform row so the
+    PRNG stream layout is identical for every topology of the same shape.
+    Only ``hostfn`` (an arbitrary host callable) cannot compile; it raises
+    NotImplementedError, which the dispatcher turns into the loud XLA
+    fallback (vector/fast_episodes.py).
+    """
+    from or_gym_inventory_tpu.ops import distributions as dist
+    specs = []
     for spec in T.rt_demand:
-        if spec[0] != "poisson":
-            raise NotImplementedError(
-                f"fused demand sampling supports Poisson links only; got "
-                f"{spec[0]!r} (pre-sample demand and use episode_returns)")
-        tables.append(_poisson_cdf_table(float(spec[1])))
-    return tuple(tables)
+        if spec[0] == "user":
+            arr = tuple(float(v) for v in spec[1]) or (0.0,)
+            specs.append(("const", tuple(arr[min(t, len(arr) - 1)]
+                                         for t in range(num_steps))))
+        elif spec[0] == "zero":
+            specs.append(("const", (0.0,) * num_steps))
+        else:
+            specs.append(("table",) + dist.cdf_table_for_spec(spec))
+    return tuple(specs)
 
 
 def _uniform24(shape):
@@ -256,13 +275,27 @@ def _invert_poisson(u_row, table):
     return d
 
 
+def _link_demand(spec, u_row, t):
+    """One retail link's period-``t`` demand from its compile-time plan
+    (see _topology_link_specs) and the link's uniform row (ignored for
+    deterministic const links)."""
+    if spec[0] == "const":
+        vals = spec[1]
+        return jnp.full(u_row.shape, vals[min(t, len(vals) - 1)],
+                        jnp.float32)
+    _tag, base, table = spec
+    d = _invert_poisson(u_row, table)
+    return d + float(base) if base else d
+
+
 def _episode_kernel_body_fully_fused(
         T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
-        cdf_tables, n_episodes, seed_ref, X_ref, Y_ref, U_ref, RH_ref,
+        link_specs, n_episodes, seed_ref, X_ref, Y_ref, U_ref, RH_ref,
         rew_ref):
     """Whole episode with BOTH streams generated on-core: uniform random
-    actions AND Poisson demand (exact CDF inversion against compile-time
-    tables). Zero per-period HBM traffic — the roofline run
+    actions AND demand (exact CDF inversion against compile-time tables for
+    every static-parameter spec; per-period constants for user/zero links —
+    see _topology_link_specs). Zero per-period HBM traffic — the roofline run
     (benchmarks/kernel_roofline.py) showed the XLA Poisson rejection sampler
     alone costs ~11x the episode kernel at 1M envs, so sampling in-kernel is
     the difference between ~71M and several hundred M steps/s.
@@ -302,7 +335,7 @@ def _episode_kernel_body_fully_fused(
         valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
         for e in range(E):
             act = [acts[e * n_ro + i] for i in range(n_ro)]
-            dem = [_invert_poisson(u[e * n_rt + j], cdf_tables[j])
+            dem = [_link_demand(link_specs[j], u[e * n_rt + j], t)
                    for j in range(n_rt)]
             X[e], Y[e], U[e], r_cur, profit = _step_math(
                 T, backlog, X[e], Y[e], U[e], RH[e], act, dem, valid)
@@ -312,7 +345,7 @@ def _episode_kernel_body_fully_fused(
         rew_ref[e] = total[e]
 
 
-def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, cdf_tables,
+def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, link_specs,
                                n_episodes, seed_ref, acts_ref, dems_ref):
     """Replays the fused kernel's exact PRNG consumption order and writes the
     action/demand streams out (test/cross-check support). Same (rows, sub,
@@ -332,8 +365,8 @@ def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, cdf_tables,
             acts_ref[t * E * n_ro + i] = acts[i]
         u = _uniform24((E * n_rt,) + tile)
         for j in range(E * n_rt):
-            dems_ref[t * E * n_rt + j] = _invert_poisson(
-                u[j], cdf_tables[j % n_rt])
+            dems_ref[t * E * n_rt + j] = _link_demand(
+                link_specs[j % n_rt], u[j], t)
 
 
 def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
@@ -341,9 +374,10 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
                                 block: int = 2048, interpret: bool = False,
                                 episodes_per_lane: int = 1):
     """Random-policy episode returns with NO pre-materialized streams: both
-    the uniform actions and the Poisson demand are sampled inside the kernel
-    (hardware PRNG + compile-time CDF inversion). Poisson retail links only;
-    raises NotImplementedError otherwise.
+    the uniform actions and the demand are sampled inside the kernel
+    (hardware PRNG + compile-time CDF inversion for every static-parameter
+    retail spec; user/zero links baked as per-period constants). Only a
+    ``hostfn`` link (arbitrary host callable) raises NotImplementedError.
 
     ``episodes_per_lane`` > 1 simulates that many independent episodes per
     lane in one launch (E independent dependency chains pipeline around the
@@ -357,7 +391,7 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
     num_steps = params.num_periods if num_steps is None else num_steps
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
-    cdf_tables = _topology_cdf_tables(T)
+    link_specs = _topology_link_specs(T, num_steps)
 
     X, Y, U, RH = init_transposed(params, batch)
     shape3 = lambda rows: (rows, batch // 128, 128)
@@ -368,7 +402,7 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
 
     kernel = partial(_episode_kernel_body_fully_fused, T, params.backlog,
                      n_main, n_ro, n_rt, lt, num_steps, params.alpha,
-                     float(act_hi), cdf_tables, E)
+                     float(act_hi), link_specs, E)
     out = pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -400,7 +434,7 @@ def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
     num_steps = params.num_periods if num_steps is None else num_steps
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
-    cdf_tables = _topology_cdf_tables(T)
+    link_specs = _topology_link_specs(T, num_steps)
     shape3 = lambda rows: (rows, batch // 128, 128)
 
     def spec(rows):
@@ -408,7 +442,7 @@ def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_streams_debug_kernel_body, n_ro, n_rt, num_steps,
-                     float(act_hi), cdf_tables, E)
+                     float(act_hi), link_specs, E)
     acts, dems = pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -577,15 +611,11 @@ def rollout_transposed(params: NetInvParams, key: jax.Array, batch: int,
                                         minval=0.0, maxval=hi)
         else:
             action = jnp.full((T.n_reorder, batch), action_value)
-        if any(spec[0] != "poisson" for spec in T.rt_demand):
-            # mirror fast_episodes/bench: refuse rather than silently
-            # benchmark zero demand for an unrecognized spec
-            raise NotImplementedError(
-                f"rollout_transposed pre-samples Poisson demand only; "
-                f"topology has {[s[0] for s in T.rt_demand]}")
-        lam = jnp.asarray([spec[1] for spec in T.rt_demand], jnp.float32)
-        demand = jax.random.poisson(dkey, lam[:, None],
-                                    (T.n_retail, batch)).astype(jnp.float32)
+        # every named spec via the env's device sampler (raises for hostfn
+        # rather than silently benchmarking zero demand)
+        from or_gym_inventory_tpu.envs import net_inv_management as _net
+        demand = jax.vmap(lambda k: _net.sample_demand(params, k, t),
+                          out_axes=1)(jax.random.split(dkey, batch))
         X, Y, U, RH, rew = batched_step(params, X, Y, U, RH, action, demand,
                                         t, block=block, interpret=interpret)
         return (X, Y, U, RH, key), jnp.sum(rew)

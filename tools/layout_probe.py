@@ -50,7 +50,7 @@ def _episode_kernel_body_fused_3d(
         du = pltpu.bitcast(pltpu.prng_random_bits((n_rt,) + tile), jnp.uint32)
         du24 = jax.lax.shift_right_logical(du, jnp.uint32(8))
         u = pltpu.bitcast(du24, jnp.int32).astype(jnp.float32) * (2.0 ** -24)
-        dem = [pns._invert_poisson(u[j], cdf_tables[j]) for j in range(n_rt)]
+        dem = [pns._link_demand(cdf_tables[j], u[j], t) for j in range(n_rt)]
         valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
         X, Y, U, r_cur, profit = pns._step_math(
             T, backlog, X, Y, U, RH, act, dem, valid)
@@ -66,7 +66,7 @@ def episode_returns_fused_3d(params, seed, act_hi, batch, block=1024):
     num_steps = params.num_periods
     assert batch % (block * 128) == 0 or batch % block == 0
     sub = block // 128  # sublane rows per tile
-    cdf_tables = pns._topology_cdf_tables(T)
+    cdf_tables = pns._topology_link_specs(T, num_steps)
     X, Y, U, RH = pns.init_transposed(params, batch)
     shape3 = lambda rows: (rows, batch // 128, 128)
 
