@@ -1,41 +1,67 @@
-"""Gymnasium-style vectorized env wrapper over the device batch.
+"""Gymnasium-conformant vectorized env over the device batch.
 
 The reference's only vec-env was SB3 ``DummyVecEnv`` with n_envs=1
-(benchmark_InvManagementBacklogEnv.py:269). This wrapper exposes the JAX
-batch through the ``gymnasium.vector.VectorEnv`` calling convention
-(batched reset/step with numpy in/out + autoreset), so host RL libraries
-can consume thousands of TPU-resident envs through one device call per step.
+(benchmark_InvManagementBacklogEnv.py:269). ``BatchedGymVectorEnv`` is a
+real ``gymnasium.vector.VectorEnv`` subclass over the JAX lockstep batch —
+batched ``observation_space``/``action_space`` via
+``gymnasium.vector.utils.batch_space``, numpy in/out, one jitted device
+call per step — so host RL libraries consume thousands of TPU-resident
+envs through the standard vector API (conformance + external-consumer
+tests: tests/test_gym_vector.py).
+
+All three gymnasium autoreset modes are supported (stateful gymnasium
+wrappers assert specific modes — e.g. NormalizeObservation requires
+NEXT_STEP):
+- SAME_STEP (default): the step that ends an episode returns the fresh
+  reset obs; the terminal obs rides in ``info["final_obs"]`` (the
+  convention of the internal vecenv.auto_reset / PPO learner path).
+- NEXT_STEP: the terminal step returns the terminal obs; the FOLLOWING
+  step resets (its action is ignored) and returns reward 0, done False —
+  gymnasium >= 1.0's default convention.
+- DISABLED: no automatic reset; the caller must ``reset()``.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
+import gymnasium
 import jax
+import jax.numpy as jnp
 import numpy as np
+from gymnasium.vector import AutoresetMode, VectorEnv
+from gymnasium.vector.utils import batch_space
 
 from or_gym_inventory_tpu.envs.base import Environment
 from or_gym_inventory_tpu.vector import vecenv
 
 
-class BatchedGymVectorEnv:
+class BatchedGymVectorEnv(VectorEnv):
     """num_envs lockstep instances; one jitted device call per step."""
 
-    def __init__(self, env: Environment, params, num_envs: int, seed: int = 0):
+    def __init__(self, env: Environment, params, num_envs: int, seed: int = 0,
+                 autoreset_mode: Union[AutoresetMode, str] = AutoresetMode.SAME_STEP):
         self.env = env
         self.params = params
         self.num_envs = num_envs
+        mode = AutoresetMode(autoreset_mode)
+        self.metadata = {**self.metadata, "autoreset_mode": mode}
+        self._mode = mode
         self._key = jax.random.PRNGKey(seed)
         self._state = None
+        self._pending = None  # NEXT_STEP: envs awaiting their deferred reset
         space = env.observation_space(params)
         aspace = env.action_space(params)
         self.single_observation_space = space.to_gymnasium()
         self.single_action_space = aspace.to_gymnasium()
+        self.observation_space = batch_space(self.single_observation_space,
+                                             num_envs)
+        self.action_space = batch_space(self.single_action_space, num_envs)
 
         self._reset_fn = jax.jit(
             lambda key: vecenv.batch_reset(env, params, key, num_envs))
 
-        def _step(state, action, key):
+        def _step_same(state, action, key):
             step_key, reset_key = jax.random.split(key)
             state, ts = vecenv.batch_step(env, params, state, action,
                                           step_key, num_envs)
@@ -43,26 +69,74 @@ class BatchedGymVectorEnv:
                                                 reset_key, num_envs)
             return state, next_obs, ts
 
-        self._step_fn = jax.jit(_step)
+        def _step_next(state, pending, action, key):
+            # NEXT_STEP: envs flagged ``pending`` reset instead of stepping
+            # (their action is discarded, reward 0, done False). Both the
+            # step and the reset compute for the full batch with a
+            # per-env select — the same cost shape as auto_reset, and
+            # all-or-none under lockstep fixed horizons anyway.
+            step_key, reset_key = jax.random.split(key)
+            state_s, ts = vecenv.batch_step(env, params, state, action,
+                                            step_key, num_envs)
+            state_r, ts_r = vecenv.batch_reset(env, params, reset_key,
+                                               num_envs)
+
+            def sel(new, old):
+                p = pending.reshape(pending.shape
+                                    + (1,) * (new.ndim - pending.ndim))
+                return jnp.where(p, new, old)
+
+            state = jax.tree_util.tree_map(sel, state_r, state_s)
+            obs = sel(ts_r.obs, ts.obs)
+            zero = jnp.zeros_like(ts.reward)
+            false = jnp.zeros_like(ts.terminated)
+            reward = sel(zero, ts.reward)
+            terminated = sel(false, ts.terminated)
+            truncated = sel(false, ts.truncated)
+            new_pending = terminated | truncated
+            return state, (obs, reward, terminated, truncated), new_pending
+
+        def _step_plain(state, action, key):
+            return vecenv.batch_step(env, params, state, action, key,
+                                     num_envs)
+
+        self._step_same = jax.jit(_step_same)
+        self._step_next = jax.jit(_step_next)
+        self._step_plain = jax.jit(_step_plain)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def reset(self, seed: Optional[int] = None):
+    def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._state, ts = self._reset_fn(self._next_key())
+        self._pending = jnp.zeros((self.num_envs,), bool)
         return np.asarray(ts.obs), {}
 
     def step(self, actions):
         actions = np.asarray(actions)
-        self._state, next_obs, ts = self._step_fn(self._state, actions,
-                                                  self._next_key())
-        done = np.asarray(ts.done)
-        info = {"final_observation": np.asarray(ts.obs)}
-        return (np.asarray(next_obs), np.asarray(ts.reward),
-                np.asarray(ts.terminated), np.asarray(ts.truncated), info)
+        if self._mode is AutoresetMode.SAME_STEP:
+            self._state, next_obs, ts = self._step_same(
+                self._state, actions, self._next_key())
+            final_obs = np.asarray(ts.obs)
+            info = {
+                "final_obs": final_obs,        # gymnasium >= 1.0 name
+                "final_info": {},
+                "final_observation": final_obs,  # pre-1.0 name
+            }
+            return (np.asarray(next_obs), np.asarray(ts.reward),
+                    np.asarray(ts.terminated), np.asarray(ts.truncated), info)
+        if self._mode is AutoresetMode.NEXT_STEP:
+            self._state, out, self._pending = self._step_next(
+                self._state, self._pending, actions, self._next_key())
+            obs, reward, terminated, truncated = (np.asarray(x) for x in out)
+            return obs, reward, terminated, truncated, {}
+        self._state, ts = self._step_plain(self._state, actions,
+                                           self._next_key())
+        return (np.asarray(ts.obs), np.asarray(ts.reward),
+                np.asarray(ts.terminated), np.asarray(ts.truncated), {})
 
-    def close(self):
+    def close_extras(self, **kwargs):
         pass

@@ -80,6 +80,27 @@ def test_vectorized_eval_host_row_comparability_injected_demand():
                                rtol=1e-4)
 
 
+def test_vectorized_eval_time_excludes_compilation():
+    """The reported Time measures a WARM execution: trace+compile goes to
+    compile_seconds, so a cold-cache call reports ~the same Time as a
+    warm-cache one (previously the first call's Time folded in minutes of
+    remote compilation)."""
+    # fresh config => nothing cached for this shape in-process
+    params = nv.default_params(step_limit=9, mu_max=150.0)
+    agent = H.OrderUpToHeuristicAgent(1.0)
+    cold = evaluate_agent_vectorized(agent, nv.ENV, params, 5, seed=0)
+    warm = evaluate_agent_vectorized(agent, nv.ENV, params, 5, seed=0)
+    assert cold["compile_seconds"] > 0
+    t_cold = cold["summary"]["Time"].iloc[0]
+    t_warm = warm["summary"]["Time"].iloc[0]
+    # identical program, warm both times -> same order of magnitude (CPU
+    # timing noise); the un-fixed code reported compile+exec here, which is
+    # 2-3 orders larger than exec alone
+    assert t_cold < max(10 * t_warm, t_warm + 0.2 / 5)
+    # and the cold call's compile phase dominated its (excluded) first run
+    assert cold["compile_seconds"] > t_cold
+
+
 def test_vectorized_eval_requires_device_policy():
     class HostOnly(H.BaseStockAgent):
         def device_policy(self, env, params):

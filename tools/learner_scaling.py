@@ -1,0 +1,154 @@
+"""Learner throughput at TPU-native scale — the PPO/A2C scaling sweep.
+
+The evaluation engine steps billions of env-steps/s (PERFORMANCE.md); this
+tool measures how fast the FULL learner (fused rollout + GAE + minibatch
+SGD, agents/ppo.py) trains as the env batch grows to TPU-native sizes, and
+attributes the time between the rollout and the update machinery.
+
+For each (num_envs, rollout_steps, algo-shape) it jits a scan of U updates
+(one device program, the chunked-training form PPOAgent uses by default),
+warms the compile, then reports best-of-3 host-fetch-timed runs as
+trained-steps/s = U * num_envs * rollout_steps / wall. The rollout-only
+row runs the same policy+env scan without the SGD phase (vecenv.rollout
+with the PPO policy), isolating "experience generation" from "learning".
+
+Run on the TPU:  python tools/learner_scaling.py
+Env knobs: OGT_SIZES=4096,16384,... OGT_ROLLOUT=32 OGT_SHAPES=ppo,a2c,...
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from or_gym_inventory_tpu.agents import networks
+from or_gym_inventory_tpu.agents import ppo
+from or_gym_inventory_tpu.envs import inv_management as im
+from or_gym_inventory_tpu.vector import vecenv
+
+SIZES = tuple(int(x) for x in os.environ.get(
+    "OGT_SIZES", "4096,16384,65536,262144").split(","))
+ROLLOUT = int(os.environ.get("OGT_ROLLOUT", "32"))
+SHAPES = tuple(os.environ.get(
+    "OGT_SHAPES", "ppo,a2c,a2c_mb32,rollout_only").split(","))
+TARGET_STEPS = int(os.environ.get("OGT_TARGET_STEPS", str(8 << 20)))
+
+
+def time_fn(f, args, n=3):
+    out = f(*args)
+    float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])  # compile+sync
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = f(*args)
+        float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def shape_cfg(shape, num_envs):
+    """The algo shapes of the benchmark rosters, at sweep batch sizes."""
+    base = dict(num_envs=num_envs, rollout_steps=ROLLOUT)
+    if shape == "ppo":        # flagship PPO: 4 epochs x 8 minibatches
+        return ppo.PPOConfig(update_epochs=4, num_minibatches=8, **base)
+    if shape == "a2c":        # single-pass full-batch (SB3 A2C)
+        return ppo.PPOConfig(update_epochs=1, num_minibatches=1,
+                             anneal_lr=False, optimizer="rmsprop", **base)
+    if shape == "a2c_mb32":   # single-pass, 32 minibatches (RESULTS.md row)
+        return ppo.PPOConfig(update_epochs=1, num_minibatches=32,
+                             anneal_lr=False, optimizer="rmsprop", **base)
+    if shape == "ppo_noshuffle":  # PPO minus the per-epoch permutation
+        return ppo.PPOConfig(update_epochs=4, num_minibatches=8,
+                             shuffle_minibatches=False, **base)
+    raise ValueError(shape)
+
+
+def measure_learner(params, shape, num_envs):
+    cfg = shape_cfg(shape, num_envs)
+    U = max(2, TARGET_STEPS // (num_envs * cfg.rollout_steps))
+    update = ppo.make_update_fn(im.ENV, params, cfg, total_updates=U)
+    state = jax.jit(lambda k: ppo.init_train_state(
+        im.ENV, params, cfg, k, U))(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
+    keys = jax.random.split(jax.random.PRNGKey(1), U)
+    t0 = time.perf_counter()
+    best = time_fn(lambda st, ks: chunk(st, ks)[1]["pg_loss"], (state, keys))
+    compile_s = time.perf_counter() - t0 - 3 * best
+    steps = U * num_envs * cfg.rollout_steps
+    return dict(updates_per_call=U, time_ms=round(best * 1e3, 2),
+                compile_s=round(compile_s, 1),
+                trained_steps_per_s=round(steps / best),
+                us_per_update=round(best / U * 1e6))
+
+
+def measure_rollout_only(params, num_envs):
+    """Experience generation alone: the same fused policy+env scan the
+    update starts with (policy inference + env step + auto-reset), no SGD."""
+    cfg = shape_cfg("a2c", num_envs)
+    model = ppo._make_model(im.ENV, params, cfg)
+    space = im.ENV.action_space(params)
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
+                       jnp.float32)
+    p0 = model.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, im.ENV.observation_space(params).shape[0]),
+                              jnp.float32))
+
+    def policy(_ps, obs, key, _t):
+        mean, log_std, _ = model.apply(p0, obs.astype(jnp.float32))
+        raw = networks.gaussian_sample(key, mean, log_std)
+        return networks.squash_action(raw, low, high).astype(jnp.int32)
+
+    U = max(2, TARGET_STEPS // (num_envs * ROLLOUT))
+
+    def run(key):
+        # mirror the learner: reset once, then scan U rollouts of ROLLOUT
+        # steps each, carrying (env_state, obs) across update boundaries
+        rkey, key = jax.random.split(key)
+        state, ts0 = vecenv.batch_reset(im.ENV, params, rkey, num_envs)
+
+        def body(carry, k):
+            (state, obs, _), traj = vecenv.rollout(
+                im.ENV, params, policy, None, k, num_envs, ROLLOUT,
+                init_carry=carry)
+            return (state, obs), jnp.sum(traj.reward)
+
+        _, tot = jax.lax.scan(body, (state, ts0.obs),
+                              jax.random.split(key, U))
+        return jnp.sum(tot)
+
+    best = time_fn(jax.jit(run), (jax.random.PRNGKey(2),))
+    steps = U * num_envs * ROLLOUT
+    return dict(updates_per_call=U, time_ms=round(best * 1e3, 2),
+                trained_steps_per_s=round(steps / best),
+                us_per_update=round(best / U * 1e6))
+
+
+def main():
+    params = im.default_params()
+    print(json.dumps({"family": "inv_management", "rollout_steps": ROLLOUT,
+                      "backend": jax.default_backend()}), flush=True)
+    for num_envs in SIZES:
+        for shape in SHAPES:
+            try:
+                if shape == "rollout_only":
+                    row = measure_rollout_only(params, num_envs)
+                else:
+                    row = measure_learner(params, shape, num_envs)
+            except Exception as e:
+                print(json.dumps({"shape": shape, "num_envs": num_envs,
+                                  "error": f"{type(e).__name__}: "
+                                           f"{str(e)[:200]}"}), flush=True)
+                continue
+            print(json.dumps({"shape": shape, "num_envs": num_envs, **row}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
