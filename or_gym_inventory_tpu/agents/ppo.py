@@ -62,6 +62,16 @@ class PPOConfig:
     # default here
     normalize_reward: bool = struct.field(pytree_node=False, default=True)
     optimizer: str = struct.field(pytree_node=False, default="adam")
+    # True reproduces the classic PPO recipe: a fresh random permutation of
+    # the flat (T*B) batch every epoch. At TPU-native batch sizes the
+    # per-epoch permutation gather is pure HBM traffic (at 262k envs x 32
+    # steps the flat batch is ~GBs; 4 epochs of gather+write+read dominate
+    # the update). False slices minibatches by ENV instead — each minibatch
+    # is every timestep of a contiguous env slice, built once per update
+    # with a single transpose and re-read by every epoch. Envs are i.i.d.,
+    # so env-sliced minibatches are unbiased; with >=1e5-sample minibatches
+    # the shuffle's variance contribution is negligible anyway.
+    shuffle_minibatches: bool = struct.field(pytree_node=False, default=True)
     # Runs that many updates per device call (lax.scan over the update),
     # amortizing the per-call dispatch floor — decisive for SB3-shaped
     # configs (tiny batch, tens of thousands of updates) and for this
@@ -285,26 +295,43 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
             return total, (pg_loss, v_loss, ent)
 
-        def epoch(carry, ekey):
+        def minibatch(carry, mb):
             params, opt_state = carry
-            perm = jax.random.permutation(ekey, batch_size)
-            shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
-
-            def minibatch(carry, mb):
-                params, opt_state = carry
-                grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), aux
-
-            mbs = jax.tree_util.tree_map(
-                lambda x: x[: mb_size * cfg.num_minibatches].reshape(
-                    (cfg.num_minibatches, mb_size) + x.shape[1:]), shuffled)
-            (params, opt_state), aux = jax.lax.scan(
-                minibatch, (params, opt_state), mbs)
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
             return (params, opt_state), aux
+
+        if cfg.shuffle_minibatches or n_envs % cfg.num_minibatches:
+            def epoch(carry, ekey):
+                params, opt_state = carry
+                perm = jax.random.permutation(ekey, batch_size)
+                shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
+                mbs = jax.tree_util.tree_map(
+                    lambda x: x[: mb_size * cfg.num_minibatches].reshape(
+                        (cfg.num_minibatches, mb_size) + x.shape[1:]),
+                    shuffled)
+                (params, opt_state), aux = jax.lax.scan(
+                    minibatch, (params, opt_state), mbs)
+                return (params, opt_state), aux
+        else:
+            # env-sliced minibatches, built ONCE per update (epoch-invariant
+            # — no per-epoch permutation gather; see shuffle_minibatches)
+            w = n_envs // cfg.num_minibatches
+            mbs_fixed = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (cfg.rollout_steps, cfg.num_minibatches, w)
+                    + x.shape[2:]).swapaxes(0, 1).reshape(
+                    (cfg.num_minibatches, cfg.rollout_steps * w)
+                    + x.shape[2:]), batch)
+
+            def epoch(carry, _ekey):
+                (params, opt_state) = carry
+                (params, opt_state), aux = jax.lax.scan(
+                    minibatch, (params, opt_state), mbs_fixed)
+                return (params, opt_state), aux
 
         epoch_keys = jax.random.split(key, cfg.update_epochs)
         (params, opt_state), aux = jax.lax.scan(

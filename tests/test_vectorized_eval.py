@@ -80,6 +80,43 @@ def test_vectorized_eval_host_row_comparability_injected_demand():
                                rtol=1e-4)
 
 
+def test_vectorized_eval_custom_topology_matches_host():
+    """The custom 7-node topology through the device evaluator (the
+    OGT_FAST=1 path of benchmark_net_inv_lost_sales.py): with injected
+    deterministic per-link user demand, device rows match host-adapter rows
+    with the same Seed on reward and metrics."""
+    import dataclasses
+
+    from or_gym_inventory_tpu.bench.evaluate import evaluate_agent
+    from or_gym_inventory_tpu.envs import adapters as ad
+    from or_gym_inventory_tpu.envs import topology as topo
+
+    T = topo.custom_topology(6)
+    user = {(1, 0): (17.0, 23.0, 20.0, 25.0, 14.0, 22.0),
+            (2, 0): (11.0, 9.0, 15.0, 13.0, 12.0, 10.0),
+            (3, 0): (20.0, 20.0, 20.0, 20.0, 20.0, 20.0)}
+    T = dataclasses.replace(T, rt_demand=tuple(
+        ("user", user[e]) for e in T.retail_links))
+    params = net.default_params(topology=T, num_periods=6, backlog=True)
+    agent = H.ConstantOrderAgent(0.05)
+    res_v = evaluate_agent_vectorized(agent, net.ENV, params, 3, seed=7000)
+
+    def host_factory(**cfg):
+        env = ad.NetInvMgmtCustomLostSalesEnv(**cfg)
+        return env
+
+    res_h = evaluate_agent(
+        agent, host_factory, 3, seed_offset=7000,
+        env_config={"num_periods": 6,
+                    "user_D": {e: list(user[e]) for e in T.retail_links}})
+    dv, dh = res_v["summary"], res_h["summary"]
+    assert list(dv["Seed"]) == list(dh["Seed"])
+    np.testing.assert_allclose(dv["TotalReward"], dh["TotalReward"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(dv["AvgServiceLevel"], dh["AvgServiceLevel"],
+                               rtol=1e-4)
+
+
 def test_vectorized_eval_time_excludes_compilation():
     """The reported Time measures a WARM execution: trace+compile goes to
     compile_seconds, so a cold-cache call reports ~the same Time as a

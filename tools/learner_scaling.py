@@ -27,6 +27,11 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from or_gym_inventory_tpu.utils.compile_cache import \
+    enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 from or_gym_inventory_tpu.agents import networks
 from or_gym_inventory_tpu.agents import ppo
 from or_gym_inventory_tpu.envs import inv_management as im
@@ -36,8 +41,9 @@ SIZES = tuple(int(x) for x in os.environ.get(
     "OGT_SIZES", "4096,16384,65536,262144").split(","))
 ROLLOUT = int(os.environ.get("OGT_ROLLOUT", "32"))
 SHAPES = tuple(os.environ.get(
-    "OGT_SHAPES", "ppo,a2c,a2c_mb32,rollout_only").split(","))
+    "OGT_SHAPES", "rollout_only,a2c,a2c_mb32,ppo").split(","))
 TARGET_STEPS = int(os.environ.get("OGT_TARGET_STEPS", str(8 << 20)))
+MAX_U = int(os.environ.get("OGT_MAX_U", "16"))
 
 
 def time_fn(f, args, n=3):
@@ -71,7 +77,7 @@ def shape_cfg(shape, num_envs):
 
 def measure_learner(params, shape, num_envs):
     cfg = shape_cfg(shape, num_envs)
-    U = max(2, TARGET_STEPS // (num_envs * cfg.rollout_steps))
+    U = min(MAX_U, max(2, TARGET_STEPS // (num_envs * cfg.rollout_steps)))
     update = ppo.make_update_fn(im.ENV, params, cfg, total_updates=U)
     state = jax.jit(lambda k: ppo.init_train_state(
         im.ENV, params, cfg, k, U))(jax.random.PRNGKey(0))
@@ -105,7 +111,7 @@ def measure_rollout_only(params, num_envs):
         raw = networks.gaussian_sample(key, mean, log_std)
         return networks.squash_action(raw, low, high).astype(jnp.int32)
 
-    U = max(2, TARGET_STEPS // (num_envs * ROLLOUT))
+    U = min(MAX_U, max(2, TARGET_STEPS // (num_envs * ROLLOUT)))
 
     def run(key):
         # mirror the learner: reset once, then scan U rollouts of ROLLOUT
