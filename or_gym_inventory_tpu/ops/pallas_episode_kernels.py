@@ -778,6 +778,213 @@ def episode_returns_im_fused(params: InvManagementParams, seed,
     return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
+# ------------------- policy-in-kernel InvManagement (MXU actor, MLP eval)
+#
+# The random-policy kernels above evaluate at 14B+ steps/s, but a LEARNED
+# policy previously had to run through the XLA vmap rollout (~50-80M
+# steps/s): per period the obs batch leaves the env program, an MLP forward
+# runs as separate XLA ops, and the action comes back — every boundary a
+# round-trip through HBM. This kernel fuses the deterministic MLP actor
+# (the benchmark pi_arch, e.g. 64x64 tanh — agents/networks.MLPActorCritic
+# + make_eval_policy(deterministic=True)) INTO the episode kernel: per
+# period the obs tile is assembled in VMEM from the live env state
+# (reference obs layout, inventory_management.py:354-391), the trunk runs
+# as (out, in) @ (in, block) MXU matmuls with the weights VMEM-resident,
+# the tanh-squash + int cast produce the action rows, and the env period
+# consumes them without the state ever leaving VMEM. Obs normalization
+# (rms) is folded into the first layer on host (fold_actor_params), so the
+# kernel sees plain dense layers.
+
+def fold_actor_params(cfg, model_params, rms=None):
+    """Extract the deterministic actor from a PPO/A2C train state as plain
+    (Ws, bs) f32 arrays, with the obs RunningMeanStd normalization folded
+    into the first layer: norm = (x - mu) / sqrt(var + eps), so
+    W1' = W1 * invstd[:, None] and b1' = b1 - (mu * invstd) @ W1.
+    Layers are the pi trunk (activation after each) plus the mean head
+    (no activation), matching make_eval_policy's deterministic path."""
+    import numpy as np
+    p = model_params["params"]
+    n_pi = len(cfg.pi_arch)
+    Ws, bs = [], []
+    for i in range(n_pi + 1):  # Dense_0..Dense_{n_pi-1} trunk, Dense_{n_pi} mean
+        d = p[f"Dense_{i}"]
+        Ws.append(jnp.asarray(d["kernel"], jnp.float32))
+        bs.append(jnp.asarray(d["bias"], jnp.float32))
+    if rms is not None and getattr(cfg, "normalize_obs", True):
+        invstd = 1.0 / jnp.sqrt(jnp.asarray(rms.var, jnp.float32) + 1e-8)
+        mu = jnp.asarray(rms.mean, jnp.float32)
+        bs[0] = bs[0] - (mu * invstd) @ Ws[0]
+        Ws[0] = Ws[0] * invstd[:, None]
+    return tuple(Ws), tuple(bs)
+
+
+def _im_obs_rows(params: InvManagementParams, t, inv, AH):
+    """The reference observation as a list of (tile) rows: on-hand I[t],
+    then the last min(t, lt_max) REQUESTED actions chronologically,
+    front-packed with zero rows at the end when t < lt_max (the static-
+    period unrolled form of envs/inv_management._obs's roll)."""
+    m1, lt = params.m1, params.lt_max
+    rows = list(inv)
+    shift = max(0, lt - t)
+    for j in range(lt):
+        src = (j + shift) % lt if lt else 0
+        # chron[j] = AH[slot lt-1-j]; wrapped rows land on the zero slots
+        for i in range(m1):
+            rows.append(AH[(lt - 1 - src) * m1 + i])
+    return rows
+
+
+def _policy_actions(params, Ws_refs, bs_refs, act_name, precision,
+                    obs_rows):
+    """Deterministic actor on the MXU: stacked obs rows -> trunk matmuls ->
+    mean head -> tanh-squash to [0, c] -> int32 (make_eval_policy's exact
+    deterministic math, networks.squash_action + the int cast).
+    ``precision`` is the MXU matmul precision: None (default, bf16-class
+    passes — right for throughput; the policy is statistically identical)
+    or jax.lax.Precision.HIGHEST (full f32 — used by the parity tests so
+    int-cast boundary ties against the XLA path become ~1e-6 rare)."""
+    tile = obs_rows[0].shape
+    n = 1
+    for s in tile:
+        n *= s
+    act = dict(tanh=jnp.tanh, relu=lambda x: jnp.maximum(x, 0.0))[act_name]
+    H = jnp.stack([r.astype(jnp.float32) for r in obs_rows]).reshape(
+        len(obs_rows), n)
+    n_layers = len(Ws_refs)
+    for i in range(n_layers):
+        W = Ws_refs[i][...]          # (out, in): pre-transposed on host
+        b = bs_refs[i][...]          # (out, 1): broadcasts over lanes
+        H = jnp.dot(W, H, preferred_element_type=jnp.float32,
+                    precision=precision) + b
+        if i < n_layers - 1:
+            H = act(H)
+    # squash to [0, c]: low = 0, high = c_i (static scalar per action row —
+    # Python floats inline as immediates; a traced array would be a
+    # captured constant, which pallas_call rejects)
+    S = jnp.tanh(H) + 1.0
+    return [((S[i:i + 1]) * (0.5 * float(params.c[i])))
+            .astype(jnp.int32).reshape(tile) for i in range(params.m1)]
+
+
+def _im_policy_kernel(params: InvManagementParams, num_steps, spec, act_name,
+                      precision, n_layers, n_episodes, dump_streams, *refs):
+    """Whole episode under the fused deterministic MLP policy; optionally
+    dumps the action/demand streams it produces (for pinning through the
+    pre-materialized kernel / the XLA chain)."""
+    seed_ref = refs[0]
+    Ws_refs = refs[1:1 + n_layers]
+    bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
+    outs = refs[1 + 2 * n_layers:]
+    if dump_streams:
+        rew_ref, acts_ref, dems_ref = outs
+    else:
+        rew_ref, = outs
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
+    m1, lt = params.m1, params.lt_max
+    tile = rew_ref.shape[1:]
+    zero = jnp.zeros(tile, jnp.int32)
+    inv = [[jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
+           for _ in range(E)]
+    bkl = [[zero for _ in range(params.num_stages)] for _ in range(E)]
+    RH = [[zero for _ in range(lt * m1)] for _ in range(E)]
+    AH = [[zero for _ in range(lt * m1)] for _ in range(E)]
+    total = [jnp.zeros(tile, jnp.float32) for _ in range(E)]
+    for t in range(num_steps):
+        dems = _im_sample_demand(params, tile, t, spec, E)
+        for e in range(E):
+            acts = _policy_actions(params, Ws_refs, bs_refs, act_name,
+                                   precision,
+                                   _im_obs_rows(params, t, inv[e], AH[e]))
+            inv[e], bkl[e], RH[e], r_req, profit = _im_step_math(
+                params, t, inv[e], bkl[e], RH[e], acts, dems[e])
+            if lt:
+                AH[e] = r_req + AH[e][: (lt - 1) * m1]
+            total[e] = total[e] + (params.alpha ** t) * profit
+            if dump_streams:
+                for i in range(m1):
+                    acts_ref[(t * E + e) * m1 + i] = acts[i]
+                dems_ref[t * E + e] = dems[e]
+    for e in range(E):
+        rew_ref[e] = total[e]
+
+
+def _im_policy_call(params, actor, seed, batch, block, episodes_per_lane,
+                    dump_streams, interpret, precision=None):
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    E = episodes_per_lane
+    T = params.periods
+    Ws, bs = actor
+    spec = _im_demand_spec(params)
+    kernel = partial(_im_policy_kernel, params, T, spec, "tanh", precision,
+                     len(Ws), E, dump_streams)
+
+    def tspec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    m1 = params.m1
+    out_rows = [E] + ([T * E * m1, T * E] if dump_streams else [])
+    out_specs = [tspec(r) for r in out_rows]
+    out_shape = [jax.ShapeDtypeStruct((r, batch // 128, 128),
+                                      jnp.float32 if i == 0 else jnp.int32)
+                 for i, r in enumerate(out_rows)]
+    if not dump_streams:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    Ws = [w.T for w in Ws]                # kernel wants (out, in)
+    bs2 = [b.reshape(-1, 1) for b in bs]  # (out, 1): lane-broadcastable
+    outs = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in Ws] + [wspec(b) for b in bs2],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws, *bs2)
+    return outs
+
+
+def episode_returns_im_policy(params: InvManagementParams, actor, seed,
+                              batch: int, block: int = 1024,
+                              interpret: bool = False,
+                              episodes_per_lane: int = 1, precision=None):
+    """Deterministic learned-policy episode returns, policy fused in-kernel.
+
+    ``actor`` is ``(Ws, bs)`` from ``fold_actor_params`` (pi trunk + mean
+    head, obs normalization pre-folded). Demand is sampled on-core from the
+    compile-time CDF tables (all four stochastic dist modes; USER baked).
+    Returns (batch,) for episodes_per_lane=1, else (episodes_per_lane,
+    batch). Pinned by ``sample_policy_streams_debug_im`` feeding
+    ``episode_returns_im`` (tests/test_pallas_policy.py)."""
+    E = episodes_per_lane
+    out = _im_policy_call(params, actor, seed, batch, block, E, False,
+                          interpret, precision)
+    return out.reshape(batch) if E == 1 else out.reshape(E, batch)
+
+
+def sample_policy_streams_debug_im(params: InvManagementParams, actor, seed,
+                                   batch: int, block: int = 1024,
+                                   interpret: bool = False,
+                                   episodes_per_lane: int = 1,
+                                   precision=None):
+    """Returns (returns, actions, demands) where actions (T, E, m1, batch)
+    i32 and demands (T, E, batch) i32 are the exact streams the policy
+    kernel produced/consumed — identical PRNG consumption (demand only),
+    so the returns equal episode_returns_im_policy's for the same seed."""
+    T, m1, E = params.periods, params.m1, episodes_per_lane
+    rew, acts, dems = _im_policy_call(params, actor, seed, batch, block, E,
+                                      True, interpret, precision)
+    rew = rew.reshape(batch) if E == 1 else rew.reshape(E, batch)
+    return (rew, acts.reshape(T, E, m1, batch), dems.reshape(T, E, batch))
+
+
 def sample_streams_debug_im(params: InvManagementParams, seed, batch: int,
                             block: int = 2048, interpret: bool = False,
                             episodes_per_lane: int = 1):

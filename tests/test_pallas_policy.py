@@ -1,0 +1,145 @@
+"""Policy-in-kernel InvManagement episode kernel (MXU MLP actor).
+
+The deterministic learned-policy evaluator fused into the episode kernel
+(ops/pallas_episode_kernels.episode_returns_im_policy). CPU-side tests pin
+the host folding math; the hardware tests pin the kernel three ways:
+(a) the dump variant reproduces the plain variant, (b) the dumped
+action/demand streams reproduce the returns through the pre-materialized
+kernel, (c) the dumped actions match the XLA flax policy applied to the
+same rollout (up to int-cast boundary ties).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from or_gym_inventory_tpu.agents import ppo
+from or_gym_inventory_tpu.envs import inv_management as im
+from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+
+
+def _make_actor(params, cfg, seed=0, train_rms=True):
+    model = ppo._make_model(im.ENV, params, cfg)
+    obs_dim = im.ENV.observation_space(params).shape[0]
+    mp = model.init(jax.random.PRNGKey(seed),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    if train_rms:
+        # non-trivial statistics so the folding is actually exercised
+        batch = 50.0 + 20.0 * jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                                (256, obs_dim))
+        rms = rms.update(batch)
+    return mp, rms
+
+
+def test_fold_actor_params_matches_flax_apply():
+    """Folded (Ws, bs) reproduce make_eval_policy's deterministic path:
+    normalize -> trunk -> mean head -> squash -> int cast."""
+    params = im.default_params(periods=8)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    mp, rms = _make_actor(params, cfg)
+    Ws, bs = pek.fold_actor_params(cfg, mp, rms)
+    obs = jnp.asarray(
+        50.0 + 30.0 * jax.random.normal(jax.random.PRNGKey(3), (128, 33)),
+        jnp.float32)
+
+    H = obs
+    for i, (W, b) in enumerate(zip(Ws, bs)):
+        H = H @ W + b
+        if i < len(Ws) - 1:
+            H = jnp.tanh(H)
+    c = jnp.asarray(params.c, jnp.float32)
+    a_fold = ((jnp.tanh(H) + 1.0) * 0.5 * c).astype(jnp.int32)
+
+    policy = ppo.make_eval_policy(im.ENV, params, cfg, deterministic=True)
+    a_ref = policy((mp, rms), obs, jax.random.PRNGKey(0),
+                   jnp.zeros((), jnp.int32))
+    # identical up to f32 association differences at int-cast boundaries
+    assert (np.asarray(a_fold) == np.asarray(a_ref)).mean() > 0.999
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_im_policy_kernel_pinned_three_ways():
+    params = im.default_params(periods=12)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    mp, rms = _make_actor(params, cfg)
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    seed = jnp.asarray(23, jnp.int32)
+    B = 1024
+
+    rew_d, acts, dems = pek.sample_policy_streams_debug_im(
+        params, actor, seed, B, block=1024)
+    fused = np.asarray(pek.episode_returns_im_policy(params, actor, seed, B,
+                                                     block=1024))
+    # (a) dump variant == plain variant (identical PRNG consumption)
+    np.testing.assert_allclose(np.asarray(rew_d), fused, rtol=1e-6, atol=1e-4)
+
+    # (b) dumped streams reproduce through the pre-materialized kernel
+    pre = np.asarray(pek.episode_returns_im(params, acts[:, 0], dems[:, 0],
+                                            block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+
+    # (c) the XLA flax policy on the same demand stream produces the same
+    # actions and matching returns on tie-free lanes. BOTH sides run their
+    # matmuls at HIGHEST precision here: at the TPU default (bf16-class f32
+    # passes) the two implementations' ~1e-3-relative matmul rounding makes
+    # int-cast boundary ties common enough to cascade through trajectories
+    # (~0.5% of actions); at full-f32 the residual association differences
+    # are ~1e-6 and ties all but vanish.
+    rew_hp, acts_hp, dems_hp = pek.sample_policy_streams_debug_im(
+        params, actor, seed, B, block=1024,
+        precision=jax.lax.Precision.HIGHEST)
+    policy = ppo.make_eval_policy(im.ENV, params, cfg, deterministic=True)
+    ps = (mp, rms)
+
+    @jax.jit
+    def xla_chain(dems_eb):
+        Bb = dems_eb.shape[1]
+        state = jax.vmap(lambda _: im.reset(params)[0])(jnp.arange(Bb))
+        obs0 = jax.vmap(lambda s: im._obs(params, s))(state)
+
+        def body(carry, d):
+            state, obs = carry
+            a = policy(ps, obs, jax.random.PRNGKey(0), jnp.zeros((), jnp.int32))
+            state, ts = jax.vmap(im.step_with_demand,
+                                 in_axes=(None, 0, 0, 0))(params, state, a, d)
+            return (state, ts.obs), (a, ts.reward)
+
+        _, (a_seq, r_seq) = jax.lax.scan(body, (state, obs0), dems_eb)
+        return a_seq, r_seq.sum(axis=0)
+
+    with jax.default_matmul_precision("highest"):
+        a_xla, ret_xla = xla_chain(jnp.asarray(dems_hp[:, 0]))
+    a_kern = np.asarray(acts_hp[:, 0]).transpose(0, 2, 1)  # (T, B, m1)
+    same = (np.asarray(a_xla) == a_kern)
+    assert same.mean() > 0.999, same.mean()
+    clean = same.all(axis=(0, 2))  # lanes with zero action divergence
+    assert clean.mean() > 0.99
+    np.testing.assert_allclose(np.asarray(rew_hp)[clean],
+                               np.asarray(ret_xla)[clean],
+                               rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_im_policy_kernel_interleaved():
+    params = im.default_params(periods=10)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    mp, rms = _make_actor(params, cfg, seed=4)
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    seed = jnp.asarray(31, jnp.int32)
+    B, E = 1024, 2
+    rew, acts, dems = pek.sample_policy_streams_debug_im(
+        params, actor, seed, B, block=1024, episodes_per_lane=E)
+    assert np.asarray(rew).shape == (E, B)
+    for e in range(E):
+        pre = np.asarray(pek.episode_returns_im(params, acts[:, e],
+                                                dems[:, e], block=512))
+        np.testing.assert_allclose(np.asarray(rew)[e], pre, rtol=1e-5,
+                                   atol=1e-3)
+    # same policy, independent demand -> different returns across episodes
+    assert np.abs(np.asarray(rew)[0] - np.asarray(rew)[1]).max() > 0
