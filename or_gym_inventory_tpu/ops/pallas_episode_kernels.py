@@ -6,17 +6,24 @@ horizon (every reference env truncates at a static step limit —
 newsvendor.py:190, inventory_management.py:350), batch in the lane
 dimension, topology/economic constants baked at trace time.
 
-Two entry points per family:
+Entry points per family (each a further-fused step of the same design):
 - ``episode_returns_*``          — actions supplied as a pre-sampled stream
   (deterministic given inputs; pinned exactly against the XLA
   ``step_with_demand`` chain by tests/test_pallas_episode_kernels.py).
 - ``episode_returns_*_random``   — the uniform-random benchmark policy
   sampled INSIDE the kernel by the TPU hardware PRNG
-  (pltpu.prng_random_bits), eliminating the (T, B) action-stream HBM
-  materialization. Same distribution as ``Box.sample``; different stream.
+  (pltpu.prng_random_bits). Same distribution as ``Box.sample``;
+  different stream.
+- ``episode_returns_*_fused`` / ``_reset_fused`` — demand (and for
+  newsvendor the reset economics) sampled in-kernel too: zero
+  per-period HBM traffic, ``episodes_per_lane`` ILP interleave.
+- ``episode_returns_im_policy``  — a deterministic learned MLP actor fused
+  in-kernel as MXU matmuls (see the policy-in-kernel section below).
 
-Demand stays pre-sampled by XLA in both forms (Poisson needs rejection
-sampling; the streams are one row per period and cheap).
+Every in-kernel-PRNG kernel has a ``sample_streams_debug*`` twin that
+replays its exact PRNG consumption order and dumps the streams, so the
+fused paths pin bit-exactly against the pre-materialized kernels and the
+XLA step chain (tests/test_pallas_fused.py, tests/test_pallas_policy.py).
 """
 
 from __future__ import annotations
@@ -803,6 +810,9 @@ def fold_actor_params(cfg, model_params, rms=None):
     Layers are the pi trunk (activation after each) plus the mean head
     (no activation), matching make_eval_policy's deterministic path."""
     import numpy as np
+    assert getattr(cfg, "activation", "tanh") == "tanh", (
+        "policy-in-kernel supports tanh trunks (the benchmark default); "
+        f"got activation={cfg.activation!r}")
     p = model_params["params"]
     n_pi = len(cfg.pi_arch)
     Ws, bs = [], []

@@ -121,3 +121,59 @@ def random_episode_returns(params, key: jax.Array, batch: int,
             warnings.warn(f"Pallas episode-kernel path unavailable ({e}); "
                           "falling back to the XLA rollout", RuntimeWarning)
     return xla()
+
+
+def policy_episode_returns(params, actor, key: jax.Array, batch: int,
+                           block: int = 1024, use_pallas: bool = True,
+                           episodes_per_lane: int = 1):
+    """Per-episode returns under a DETERMINISTIC learned MLP policy.
+
+    ``actor`` is ``(Ws, bs)`` from ``ops.pallas_episode_kernels.
+    fold_actor_params`` (pi trunk + mean head as plain f32 arrays, obs
+    normalization pre-folded — build it from a PPO/A2C train state). On TPU
+    the InvManagement family runs the policy-in-kernel evaluator (the MLP
+    fused into the episode kernel as MXU matmuls — measured 143-187x the
+    XLA rollout, PERFORMANCE.md round 4); other families and other
+    backends run the same policy through the XLA vmap rollout. Episode
+    ordering caveats are as in :func:`random_episode_returns`.
+    """
+    E = int(episodes_per_lane)
+    if E < 1:
+        raise ValueError(f"episodes_per_lane must be >= 1, got {E}")
+    env = (nv.ENV if isinstance(params, nv.NewsvendorParams)
+           else im.ENV if isinstance(params, im.InvManagementParams)
+           else net.ENV if isinstance(params, net.NetInvParams) else None)
+    if env is None:
+        raise TypeError(f"Unknown params type {type(params).__name__}")
+
+    def xla():
+        space = env.action_space(params)
+        import numpy as np
+        low = jnp.asarray(space.low, jnp.float32)
+        high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
+                           jnp.float32)
+        int_actions = np.issubdtype(space.dtype, np.integer)
+        Ws, bs = actor
+
+        def policy(_s, obs, _k, _t):
+            H = obs.astype(jnp.float32)
+            for i, (W, b) in enumerate(zip(Ws, bs)):
+                H = H @ W + b
+                if i < len(Ws) - 1:
+                    H = jnp.tanh(H)
+            a = low + (jnp.tanh(H) + 1.0) * 0.5 * (high - low)
+            return a.astype(jnp.int32) if int_actions else a
+
+        _, traj = vecenv.rollout(env, params, policy, None, key, E * batch,
+                                 env.horizon(params))
+        return jnp.sum(traj.reward, axis=0)
+
+    if use_pallas and jax.default_backend() == "tpu" and \
+            isinstance(params, im.InvManagementParams):
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+            episode_returns_im_policy
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        return episode_returns_im_policy(params, actor, seed, batch,
+                                         block=max(block, 1024),
+                                         episodes_per_lane=E).reshape(-1)
+    return xla()

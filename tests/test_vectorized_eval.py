@@ -171,6 +171,42 @@ def test_random_episode_returns_dispatch_and_fallback():
         random_episode_returns(object(), jax.random.PRNGKey(0), batch=8)
 
 
+def test_policy_episode_returns_dispatch():
+    """The learned-policy fast-episodes dispatcher: folded-actor policy on
+    the XLA fallback for all three families (the TPU path runs the
+    policy-in-kernel evaluator, pinned in tests/test_pallas_policy.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from or_gym_inventory_tpu.agents import ppo
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.envs import inv_management as im2
+    from or_gym_inventory_tpu.envs import net_inv_management as net2
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    from or_gym_inventory_tpu.vector import policy_episode_returns
+
+    cfg = ppo.PPOConfig(pi_arch=(16, 16))
+    for params in (nv.default_params(step_limit=6),
+                   im2.default_params(periods=5),
+                   net2.default_params(num_periods=4)):
+        env = {nv.NewsvendorParams: nv.ENV,
+               im2.InvManagementParams: im2.ENV,
+               net2.NetInvParams: net2.ENV}[type(params)]
+        model = ppo._make_model(env, params, cfg)
+        obs_dim = env.observation_space(params).shape[0]
+        mp = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, obs_dim), jnp.float32))
+        actor = pek.fold_actor_params(cfg, mp, ppo.RunningMeanStd.create(obs_dim))
+        r = policy_episode_returns(params, actor, jax.random.PRNGKey(1),
+                                   batch=16, episodes_per_lane=2)
+        r = np.asarray(r)
+        assert r.shape == (32,) and np.isfinite(r).all()
+
+    import pytest
+    with pytest.raises(TypeError):
+        policy_episode_returns(object(), actor, jax.random.PRNGKey(0), 8)
+
+
 def test_random_episode_returns_episodes_per_lane():
     """episodes_per_lane widens the returned episode count (E*batch,) for
     every family — a pure performance knob (kernel interleave on TPU, batch
