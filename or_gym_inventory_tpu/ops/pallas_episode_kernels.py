@@ -844,18 +844,16 @@ def _im_obs_rows(params: InvManagementParams, t, inv, AH):
     return rows
 
 
-def _policy_actions(params, Ws_refs, bs_refs, act_name, precision,
-                    obs_rows):
-    """Deterministic actor on the MXU: stacked obs rows -> trunk matmuls ->
-    mean head -> tanh-squash to [0, c] -> int32 (make_eval_policy's exact
-    deterministic math, networks.squash_action + the int cast).
-    ``precision`` is the MXU matmul precision: None (default, bf16-class
-    passes — right for throughput; the policy is statistically identical)
-    or jax.lax.Precision.HIGHEST (full f32 — used by the parity tests so
+def mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows):
+    """Shared in-kernel MLP trunk + head: stacked obs rows (each a VMEM
+    tile) -> (act_dim, lanes) raw means via (out, in) @ (in, lanes) MXU
+    matmuls, weights read whole from their VMEM refs. ``precision`` is the
+    MXU matmul precision: None (default, bf16-class passes — right for
+    throughput; the policy is statistically identical) or
+    jax.lax.Precision.HIGHEST (full f32 — used by the parity tests so
     int-cast boundary ties against the XLA path become ~1e-6 rare)."""
-    tile = obs_rows[0].shape
     n = 1
-    for s in tile:
+    for s in obs_rows[0].shape:
         n *= s
     act = dict(tanh=jnp.tanh, relu=lambda x: jnp.maximum(x, 0.0))[act_name]
     H = jnp.stack([r.astype(jnp.float32) for r in obs_rows]).reshape(
@@ -868,6 +866,16 @@ def _policy_actions(params, Ws_refs, bs_refs, act_name, precision,
                     precision=precision) + b
         if i < n_layers - 1:
             H = act(H)
+    return H
+
+
+def _policy_actions(params, Ws_refs, bs_refs, act_name, precision,
+                    obs_rows):
+    """Deterministic actor on the MXU: mlp_forward then tanh-squash to
+    [0, c] -> int32 (make_eval_policy's exact deterministic math,
+    networks.squash_action + the int cast)."""
+    tile = obs_rows[0].shape
+    H = mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows)
     # squash to [0, c]: low = 0, high = c_i (static scalar per action row —
     # Python floats inline as immediates; a traced array would be a
     # captured constant, which pallas_call rejects)

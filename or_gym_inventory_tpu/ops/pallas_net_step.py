@@ -461,6 +461,157 @@ def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
             dems.reshape(num_steps, E, n_rt, batch))
 
 
+# --------------------- policy-in-kernel NetInvMgmt (MXU actor, MLP eval)
+
+def _net_obs_rows(T, X, U, RH):
+    """The reference observation as a list of tile rows: U[t] per retail
+    link, X[t] per main node, then each reorder link's chronological
+    order window R[t-L..t-1] (network_management.py:334-413 — the
+    newest-first RH ring read oldest-first; rows beyond period t are the
+    ring's zero-initialized slots, matching the XLA zeros-at-front)."""
+    rows = list(U) + list(X)
+    n_ro = T.n_reorder
+    for i, L in enumerate(T.ro_L):
+        for j in range(L):
+            rows.append(RH[(L - 1 - j) * n_ro + i])
+    return rows
+
+
+def _episode_kernel_body_policy(
+        T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
+        link_specs, act_name, precision, n_layers, n_episodes, dump_streams,
+        *refs):
+    """Whole episode under a fused deterministic MLP policy (same design as
+    ops/pallas_episode_kernels.episode_returns_im_policy — obs assembled in
+    VMEM from live state, trunk as MXU matmuls, tanh-squash to the action
+    box [0, act_hi], demand from the compile-time link tables)."""
+    from or_gym_inventory_tpu.ops.pallas_episode_kernels import mlp_forward
+    seed_ref = refs[0]
+    Ws_refs = refs[1:1 + n_layers]
+    bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
+    X_ref, Y_ref, U_ref, RH_ref = refs[1 + 2 * n_layers:5 + 2 * n_layers]
+    outs = refs[5 + 2 * n_layers:]
+    if dump_streams:
+        rew_ref, acts_ref, dems_ref = outs
+    else:
+        rew_ref, = outs
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
+    X = [[X_ref[i] for i in range(n_main)] for _ in range(E)]
+    Y = [[Y_ref[i] for i in range(n_ro)] for _ in range(E)]
+    U = [[U_ref[i] for i in range(n_rt)] for _ in range(E)]
+    RH = [[RH_ref[r] for r in range(lt * n_ro)] for _ in range(E)]
+    tile = X_ref.shape[1:]
+    total = [jnp.zeros(tile, jnp.float32) for _ in range(E)]
+    one = jnp.ones(tile, jnp.float32)
+    for t in range(num_steps):
+        u = _uniform24((E * n_rt,) + tile)
+        valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
+        for e in range(E):
+            H = mlp_forward(Ws_refs, bs_refs, act_name, precision,
+                            _net_obs_rows(T, X[e], U[e], RH[e]))
+            # squash to [0, act_hi] (low = 0, scalar high for every link —
+            # network env action box, net_inv_management.action_space)
+            S = (jnp.tanh(H) + 1.0) * (0.5 * act_hi)
+            act = [S[i:i + 1].reshape(tile) for i in range(n_ro)]
+            dem = [_link_demand(link_specs[j], u[e * n_rt + j], t)
+                   for j in range(n_rt)]
+            X[e], Y[e], U[e], r_cur, profit = _step_math(
+                T, backlog, X[e], Y[e], U[e], RH[e], act, dem, valid)
+            RH[e] = r_cur + RH[e][: (lt - 1) * n_ro]
+            total[e] = total[e] + (alpha ** t) * profit
+            if dump_streams:
+                for i in range(n_ro):
+                    acts_ref[(t * E + e) * n_ro + i] = act[i]
+                for j in range(n_rt):
+                    dems_ref[(t * E + e) * n_rt + j] = dem[j]
+    for e in range(E):
+        rew_ref[e] = total[e]
+
+
+def _net_policy_call(params, actor, seed, batch, block, episodes_per_lane,
+                     dump_streams, interpret, precision):
+    T = params.topology
+    n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
+    lt = max(T.lt_max, 1)
+    E = episodes_per_lane
+    num_steps = params.num_periods
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    link_specs = _topology_link_specs(T, num_steps)
+    act_hi = float(T.order_cap_heuristic * 2)
+    Ws, bs = actor
+    kernel = partial(_episode_kernel_body_policy, T, params.backlog, n_main,
+                     n_ro, n_rt, lt, num_steps, params.alpha, act_hi,
+                     link_specs, "tanh", precision, len(Ws), E, dump_streams)
+
+    X, Y, U, RH = init_transposed(params, batch)
+    shape3 = lambda rows: (rows, batch // 128, 128)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_rows = [E] + ([num_steps * E * n_ro, num_steps * E * n_rt]
+                      if dump_streams else [])
+    out_specs = [spec(r) for r in out_rows]
+    out_shape = [jax.ShapeDtypeStruct(shape3(r), jnp.float32)
+                 for r in out_rows]
+    if not dump_streams:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    Ws2 = [w.T for w in Ws]                # kernel wants (out, in)
+    bs2 = [b.reshape(-1, 1) for b in bs]   # (out, 1): lane-broadcastable
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2]
+        + [spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2,
+      X.reshape(shape3(n_main)), Y.reshape(shape3(n_ro)),
+      U.reshape(shape3(n_rt)), RH.reshape(shape3(lt * n_ro)))
+
+
+def episode_returns_net_policy(params: NetInvParams, actor, seed,
+                               batch: int, block: int = 1024,
+                               interpret: bool = False,
+                               episodes_per_lane: int = 1, precision=None):
+    """Deterministic learned-policy episode returns for the network env,
+    policy fused in-kernel (see episode_returns_im_policy — same recipe;
+    ``actor`` from ops.pallas_episode_kernels.fold_actor_params). Demand
+    from the compile-time link tables (hostfn raises). Returns (batch,)
+    for episodes_per_lane=1, else (episodes_per_lane, batch)."""
+    E = episodes_per_lane
+    out = _net_policy_call(params, actor, seed, batch, block, E, False,
+                           interpret, precision)
+    return out.reshape(batch) if E == 1 else out.reshape(E, batch)
+
+
+def sample_policy_streams_debug_net(params: NetInvParams, actor, seed,
+                                    batch: int, block: int = 1024,
+                                    interpret: bool = False,
+                                    episodes_per_lane: int = 1,
+                                    precision=None):
+    """(returns, actions (T, E, n_ro, batch) f32, demands (T, E, n_rt,
+    batch) f32) — the exact streams the policy kernel produced/consumed
+    (identical PRNG consumption: demand only)."""
+    T_, E = params.num_periods, episodes_per_lane
+    n_ro, n_rt = params.topology.n_reorder, params.topology.n_retail
+    rew, acts, dems = _net_policy_call(params, actor, seed, batch, block, E,
+                                       True, interpret, precision)
+    rew = rew.reshape(batch) if E == 1 else rew.reshape(E, batch)
+    return (rew, acts.reshape(T_, E, n_ro, batch),
+            dems.reshape(T_, E, n_rt, batch))
+
+
 def batched_step(params: NetInvParams, X, Y, U, RH, action, demand, t,
                  block: int = 2048, interpret: bool = False):
     """One fused period over a transposed batch.

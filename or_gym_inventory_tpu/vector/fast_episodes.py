@@ -168,12 +168,23 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
                                  env.horizon(params))
         return jnp.sum(traj.reward, axis=0)
 
-    if use_pallas and jax.default_backend() == "tpu" and \
-            isinstance(params, im.InvManagementParams):
-        from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
-            episode_returns_im_policy
-        seed = jax.random.randint(key, (), 0, 2**31 - 1)
-        return episode_returns_im_policy(params, actor, seed, batch,
-                                         block=max(block, 1024),
-                                         episodes_per_lane=E).reshape(-1)
+    if use_pallas and jax.default_backend() == "tpu":
+        if isinstance(params, im.InvManagementParams):
+            from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+                episode_returns_im_policy
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            return episode_returns_im_policy(params, actor, seed, batch,
+                                             block=max(block, 1024),
+                                             episodes_per_lane=E).reshape(-1)
+        if isinstance(params, net.NetInvParams):
+            from or_gym_inventory_tpu.ops.pallas_net_step import \
+                episode_returns_net_policy
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            try:
+                return episode_returns_net_policy(
+                    params, actor, seed, batch, block=max(block, 1024),
+                    episodes_per_lane=E).reshape(-1)
+            except NotImplementedError as e:  # hostfn demand link
+                warnings.warn(f"policy kernel unavailable ({e}); falling "
+                              "back to the XLA rollout", RuntimeWarning)
     return xla()

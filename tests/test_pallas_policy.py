@@ -126,6 +126,73 @@ def test_im_policy_kernel_pinned_three_ways():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_net_policy_kernel_pinned_three_ways():
+    """The NetInvMgmt policy-in-kernel evaluator (same recipe as IM; float
+    actions, no int-cast cliffs — so the XLA comparison can demand near-
+    universal agreement of returns at HIGHEST precision)."""
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    from or_gym_inventory_tpu.ops import pallas_net_step as pns
+    params = net.default_params(num_periods=10)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    obs_dim = net.ENV.observation_space(params).shape[0]
+    model = ppo._make_model(net.ENV, params, cfg)
+    mp = model.init(jax.random.PRNGKey(7),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    rms = rms.update(100.0 + 40.0 * jax.random.normal(
+        jax.random.PRNGKey(8), (256, obs_dim)))
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    seed = jnp.asarray(41, jnp.int32)
+    B = 1024
+
+    rew_d, acts, dems = pns.sample_policy_streams_debug_net(
+        params, actor, seed, B, block=1024)
+    fused = np.asarray(pns.episode_returns_net_policy(params, actor, seed,
+                                                      B, block=1024))
+    # (a) dump variant == plain variant
+    np.testing.assert_allclose(np.asarray(rew_d), fused, rtol=1e-6,
+                               atol=1e-4)
+    # (b) dumped streams reproduce through the pre-materialized kernel
+    pre = np.asarray(pns.episode_returns(params, acts[:, 0], dems[:, 0],
+                                         block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+
+    # (c) XLA flax policy on the same demand stream, both sides HIGHEST
+    rew_hp, acts_hp, dems_hp = pns.sample_policy_streams_debug_net(
+        params, actor, seed, B, block=1024,
+        precision=jax.lax.Precision.HIGHEST)
+    policy = ppo.make_eval_policy(net.ENV, params, cfg, deterministic=True)
+    ps = (mp, rms)
+
+    @jax.jit
+    def xla_chain(dems_eb):
+        Bb = dems_eb.shape[2]
+        state = jax.vmap(lambda _: net.reset(params)[0])(jnp.arange(Bb))
+        obs0 = jax.vmap(lambda s: net._obs(params, s))(state)
+
+        def body(carry, d):
+            state, obs = carry
+            a = policy(ps, obs, jax.random.PRNGKey(0),
+                       jnp.zeros((), jnp.int32))
+            state, ts = jax.vmap(net.step_with_demand,
+                                 in_axes=(None, 0, 0, 1))(params, state, a, d)
+            return (state, ts.obs), ts.reward
+
+        _, r_seq = jax.lax.scan(body, (state, obs0), dems_eb)
+        return r_seq.sum(axis=0)
+
+    with jax.default_matmul_precision("highest"):
+        ret_xla = xla_chain(jnp.asarray(dems_hp[:, 0]))
+    # continuous actions round only at the env's jnp.round — isolated
+    # half-integer ties; overwhelming majority of lanes must agree
+    close = np.isclose(np.asarray(rew_hp), np.asarray(ret_xla), rtol=1e-3,
+                       atol=1.0)
+    assert close.mean() > 0.99, close.mean()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 def test_im_policy_kernel_interleaved():
     params = im.default_params(periods=10)
     cfg = ppo.PPOConfig(pi_arch=(64, 64))
