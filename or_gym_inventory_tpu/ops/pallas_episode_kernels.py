@@ -520,6 +520,133 @@ def sample_streams_debug_nv(params: NewsvendorParams, econ, seed,
     return acts.reshape(T, B), dems.reshape(T, B)
 
 
+# ------------------- policy-in-kernel Newsvendor (MXU actor, MLP eval)
+
+def _nv_policy_kernel(params: NewsvendorParams, num_steps, K, chunk,
+                      act_name, precision, n_layers, n_episodes,
+                      dump_streams, *refs):
+    """Whole episode under a fused deterministic MLP policy, reset fused
+    too: econ drawn on-core (newsvendor.py:105-111), per-lane dynamic-mu
+    Poisson demand inverted in chunks, obs = [econ, pipeline]
+    (newsvendor.py obs layout, envs/newsvendor._obs) assembled from live
+    state, actor as MXU matmuls, tanh-squash to [0, max_order]."""
+    seed_ref = refs[0]
+    Ws_refs = refs[1:1 + n_layers]
+    bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
+    outs = refs[1 + 2 * n_layers:]
+    if dump_streams:
+        rew_ref, econ_ref, acts_ref, dems_ref = outs
+    else:
+        rew_ref, = outs
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    E = n_episodes
+    tile = rew_ref.shape[1:]
+    L = params.lead_time
+    hi = float(params.max_order_quantity)
+    econ, setup = [], []
+    for e in range(E):
+        econ.append(_nv_econ_from_uniforms(params, _uniform01((5,) + tile)))
+        setup.append(_nv_poisson_setup(params, econ[-1][4]))
+        if dump_streams:
+            for i in range(5):
+                econ_ref[e * 5 + i] = econ[e][i]
+    P = [[jnp.zeros(tile, jnp.float32) for _ in range(L)] for _ in range(E)]
+    total = [jnp.zeros(tile, jnp.float32) for _ in range(E)]
+    for t0 in range(0, num_steps, chunk):
+        n = min(chunk, num_steps - t0)
+        du = _uniform01((E * n,) + tile)
+        ds = [_nv_poisson_invert(*setup[e], K, [du[e * n + i]
+                                               for i in range(n)])
+              for e in range(E)]
+        for i in range(n):
+            for e in range(E):
+                price, cost, h, k, mu = econ[e]
+                obs_rows = [price, cost, h, k, mu] + P[e]
+                H = mlp_forward(Ws_refs, bs_refs, act_name, precision,
+                                obs_rows)
+                order_raw = ((jnp.tanh(H[0:1]) + 1.0) * (0.5 * hi)
+                             ).reshape(tile)
+                P[e], reward = _nv_step_math(params, P[e], price, cost, h,
+                                             k, order_raw, ds[e][i])
+                total[e] = total[e] + (params.gamma ** (t0 + i)) * reward
+                if dump_streams:
+                    acts_ref[(t0 + i) * E + e] = order_raw
+                    dems_ref[(t0 + i) * E + e] = ds[e][i]
+    for e in range(E):
+        rew_ref[e] = total[e]
+
+
+def _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
+                    episodes_per_lane, dump_streams, interpret, precision):
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    E = episodes_per_lane
+    T = params.step_limit
+    _Wb, K, _lg = _nv_window(params)
+    Ws, bs = actor
+    kernel = partial(_nv_policy_kernel, params, T, K, demand_chunk, "tanh",
+                     precision, len(Ws), E, dump_streams)
+
+    def tspec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_rows = [E] + ([5 * E, T * E, T * E] if dump_streams else [])
+    out_specs = [tspec(r) for r in out_rows]
+    out_shape = [jax.ShapeDtypeStruct((r, batch // 128, 128), jnp.float32)
+                 for r in out_rows]
+    if not dump_streams:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    Ws2 = [w.T for w in Ws]
+    bs2 = [b.reshape(-1, 1) for b in bs]
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2)
+
+
+def episode_returns_nv_policy(params: NewsvendorParams, actor, seed,
+                              batch: int, block: int = 1024,
+                              demand_chunk: int = 16,
+                              interpret: bool = False,
+                              episodes_per_lane: int = 1, precision=None):
+    """Deterministic learned-policy Newsvendor episode returns — reset,
+    demand, AND the MLP actor all fused in-kernel. ``actor`` from
+    fold_actor_params. Returns (batch,) or (episodes_per_lane, batch)."""
+    E = episodes_per_lane
+    out = _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
+                          E, False, interpret, precision)
+    return out.reshape(batch) if E == 1 else out.reshape(E, batch)
+
+
+def sample_policy_streams_debug_nv(params: NewsvendorParams, actor, seed,
+                                   batch: int, block: int = 1024,
+                                   demand_chunk: int = 16,
+                                   interpret: bool = False,
+                                   episodes_per_lane: int = 1,
+                                   precision=None):
+    """(returns, econ (E, 5, batch), actions (T, E, batch), demands
+    (T, E, batch)) — the exact streams the NV policy kernel
+    produced/consumed (PRNG consumption: econ then demand chunks)."""
+    T, E = params.step_limit, episodes_per_lane
+    rew, econ, acts, dems = _nv_policy_call(
+        params, actor, seed, batch, block, demand_chunk, E, True,
+        interpret, precision)
+    rew = rew.reshape(batch) if E == 1 else rew.reshape(E, batch)
+    return (rew, econ.reshape(E, 5, batch), acts.reshape(T, E, batch),
+            dems.reshape(T, E, batch))
+
+
 # =========================================================== InvManagement
 
 def _im_step_math(params: InvManagementParams, t, inv, bkl, RH, act, d):

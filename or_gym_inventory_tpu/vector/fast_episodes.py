@@ -130,12 +130,13 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
 
     ``actor`` is ``(Ws, bs)`` from ``ops.pallas_episode_kernels.
     fold_actor_params`` (pi trunk + mean head as plain f32 arrays, obs
-    normalization pre-folded — build it from a PPO/A2C train state). On TPU
-    the InvManagement family runs the policy-in-kernel evaluator (the MLP
-    fused into the episode kernel as MXU matmuls — measured 143-187x the
-    XLA rollout, PERFORMANCE.md round 4); other families and other
-    backends run the same policy through the XLA vmap rollout. Episode
-    ordering caveats are as in :func:`random_episode_returns`.
+    normalization pre-folded — build it from a PPO/A2C train state). On
+    TPU every family runs its policy-in-kernel evaluator (the MLP fused
+    into the episode kernel as MXU matmuls — measured 39-187x the XLA
+    rollout, PERFORMANCE.md round 4; the network env falls back loudly
+    for hostfn demand links); other backends run the same policy through
+    the XLA vmap rollout. Episode ordering caveats are as in
+    :func:`random_episode_returns`.
     """
     E = int(episodes_per_lane)
     if E < 1:
@@ -174,6 +175,13 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
                 episode_returns_im_policy
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             return episode_returns_im_policy(params, actor, seed, batch,
+                                             block=max(block, 1024),
+                                             episodes_per_lane=E).reshape(-1)
+        if isinstance(params, nv.NewsvendorParams):
+            from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+                episode_returns_nv_policy
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            return episode_returns_nv_policy(params, actor, seed, batch,
                                              block=max(block, 1024),
                                              episodes_per_lane=E).reshape(-1)
         if isinstance(params, net.NetInvParams):

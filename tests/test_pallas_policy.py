@@ -193,6 +193,45 @@ def test_net_policy_kernel_pinned_three_ways():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_nv_policy_kernel_pinned():
+    """The Newsvendor policy kernel (reset + demand + actor all fused):
+    dump variant == plain variant; dumped econ/action/demand streams
+    reproduce through the pre-materialized kernel; dumped econ satisfies
+    the reset constraints; actions lie in the squashed box."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    params = nv.default_params(step_limit=12)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    obs_dim = nv.ENV.observation_space(params).shape[0]
+    model = ppo._make_model(nv.ENV, params, cfg)
+    mp = model.init(jax.random.PRNGKey(9),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    rms = rms.update(60.0 + 25.0 * jax.random.normal(
+        jax.random.PRNGKey(10), (256, obs_dim)))
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    seed = jnp.asarray(53, jnp.int32)
+    B = 1024
+    rew_d, econ, acts, dems = pek.sample_policy_streams_debug_nv(
+        params, actor, seed, B, block=1024)
+    fused = np.asarray(pek.episode_returns_nv_policy(params, actor, seed,
+                                                     B, block=1024))
+    np.testing.assert_allclose(np.asarray(rew_d), fused, rtol=1e-6,
+                               atol=1e-4)
+    pre = np.asarray(pek.episode_returns_nv(params, econ[0], acts[:, 0],
+                                            dems[:, 0], block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+    e = np.asarray(econ[0])
+    assert (e[0] >= 1.0).all() and (e[1] <= np.maximum(e[0], 1.0)).all()
+    assert (e[4] >= 0).all() and (e[4] <= params.mu_max).all()
+    a = np.asarray(acts)
+    assert a.min() >= 0.0 and a.max() <= params.max_order_quantity
+    # the policy is state-dependent: actions vary across lanes/periods
+    assert a.std() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 def test_im_policy_kernel_interleaved():
     params = im.default_params(periods=10)
     cfg = ppo.PPOConfig(pi_arch=(64, 64))
