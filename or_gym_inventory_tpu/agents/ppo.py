@@ -308,6 +308,15 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         # mean gradient is permutation-invariant — the shuffle buys nothing
         # but a full-batch HBM gather (measured ~1.5x the A2C update at 65k+
         # envs), so it is always skipped.
+        if cfg.num_minibatches > 1 and not cfg.shuffle_minibatches and \
+                n_envs % cfg.num_minibatches:
+            # env-sliced minibatches need num_envs % num_minibatches == 0;
+            # say so rather than silently charging the shuffle's HBM cost
+            import warnings
+            warnings.warn(
+                f"shuffle_minibatches=False needs num_envs ({n_envs}) "
+                f"divisible by num_minibatches ({cfg.num_minibatches}); "
+                "using the shuffled path", RuntimeWarning)
         if cfg.num_minibatches > 1 and (
                 cfg.shuffle_minibatches or n_envs % cfg.num_minibatches):
             def epoch(carry, ekey):

@@ -91,6 +91,32 @@ def make_demand_sampler(dist: int, dist_param: Dict, user_D=None):
 
 # ------------------------------------------------- compile-time inversion
 
+_TABLE_CAP = 4096  # unrolled compare-adds per in-kernel inversion
+
+
+def _accumulate_cdf(pmf_iter, base, granularity):
+    """Shared threshold accumulator for every table builder: stop at the
+    first F with tail mass below the uniform's resolution (same convention
+    as ops/pallas_net_step._poisson_cdf_table); REFUSE loudly if the
+    support does not fit the unroll cap — silently truncating a wide
+    distribution would make the kernel sample the wrong law (the
+    NotImplementedError becomes the dispatchers' loud XLA fallback)."""
+    import numpy as np
+    F = 0.0
+    table = []
+    for p in pmf_iter:
+        F += p
+        table.append(F)
+        if 1.0 - F <= granularity:
+            break
+        if len(table) >= _TABLE_CAP:
+            raise NotImplementedError(
+                f"demand distribution support exceeds the {_TABLE_CAP}-entry "
+                f"inversion-table cap (mass covered: {F:.6f}); pre-sample "
+                "this distribution instead")
+    return base, tuple(float(np.float32(v)) for v in table)
+
+
 def discrete_cdf_table(dist: int, dist_param: Dict,
                        granularity: float = 2.0 ** -24):
     """Host-side CDF thresholds for compile-time inversion sampling.
@@ -103,24 +129,16 @@ def discrete_cdf_table(dist: int, dist_param: Dict,
     the kernel compares in), to be baked into a kernel as constants — every
     reference ``dist`` mode has static parameters
     (inventory_management.py:169-184), so the table is trace-time data.
+    A distribution whose support exceeds the unroll cap raises
+    NotImplementedError (loud fallback) rather than silently truncating.
 
     Supports POISSON / BINOMIAL / RANDINT / GEOMETRIC. USER mode is
-    deterministic per period (no sampling) and raises here.
+    deterministic per period (no sampling) and raises ValueError here.
     """
     import numpy as np
 
     def _truncate(pmf_iter, base):
-        # the last stored threshold is the first with tail mass below the
-        # uniform's resolution (same convention as
-        # ops/pallas_net_step._poisson_cdf_table)
-        F = 0.0
-        table = []
-        for p in pmf_iter:
-            F += p
-            table.append(F)
-            if 1.0 - F <= granularity or len(table) >= 4096:
-                break
-        return base, tuple(float(np.float32(v)) for v in table)
+        return _accumulate_cdf(pmf_iter, base, granularity)
 
     if dist == POISSON:
         lam = float(dist_param["mu"])
@@ -191,8 +209,6 @@ def cdf_table_for_spec(spec, granularity: float = 2.0 ** -24):
     """
     import math
 
-    import numpy as np
-
     tag = spec[0]
     if tag in ("user", "zero"):
         return None
@@ -211,19 +227,22 @@ def cdf_table_for_spec(spec, granularity: float = 2.0 ** -24):
         n, p = float(spec[1]), float(spec[2])
         if p >= 1.0:
             return 0, ()
-        F, table = 0.0, []
-        # pmf(0) = p^n; pmf(k+1) = pmf(k) * (1-p) * (n+k) / (k+1); n may be
-        # non-integer (numpy allows real n via the gamma-Poisson mixture)
-        q = float(np.exp(n * np.log(p)))
-        k = 0
-        while True:
-            F += q
-            table.append(F)
-            if 1.0 - F <= granularity or len(table) >= 4096:
-                break
-            q *= (1.0 - p) * (n + k) / (k + 1.0)
-            k += 1
-        return 0, tuple(float(np.float32(v)) for v in table)
+
+        def pmf():
+            # pmf(0) = p^n; pmf(k+1) = pmf(k) * (1-p) * (n+k) / (k+1); n
+            # may be non-integer (numpy allows real n via the gamma-Poisson
+            # mixture). Run the recurrence in LOG space: p^n itself can
+            # underflow float64 (e.g. n=200, p=0.02 -> 1e-340) even though
+            # later pmf values are representable.
+            log_q = n * math.log(p)
+            log_1mp = math.log1p(-p)
+            k = 0
+            while True:
+                yield math.exp(log_q)
+                log_q += log_1mp + math.log((n + k) / (k + 1.0))
+                k += 1
+
+        return _accumulate_cdf(pmf(), 0, granularity)
     if tag == "normal":
         loc, scale = float(spec[1]), float(spec[2])
         if scale <= 0.0:
@@ -232,15 +251,18 @@ def cdf_table_for_spec(spec, granularity: float = 2.0 ** -24):
         # start the table 9 sigma below loc (left-tail mass ~1e-19, far
         # under the 24-bit uniform's resolution) so a large loc doesn't
         # walk thousands of all-but-zero entries
-        k = base = max(0, int(math.floor(loc - 9.0 * scale)))
-        table = []
-        while True:
-            F = 0.5 * (1.0 + math.erf((k + 0.5 - loc) * inv))
-            table.append(F)
-            if 1.0 - F <= granularity or len(table) >= 4096:
-                break
-            k += 1
-        return base, tuple(float(np.float32(v)) for v in table)
+        base = max(0, int(math.floor(loc - 9.0 * scale)))
+
+        def pmf():
+            prev = 0.0
+            k = base
+            while True:
+                F = 0.5 * (1.0 + math.erf((k + 0.5 - loc) * inv))
+                yield F - prev
+                prev = F
+                k += 1
+
+        return _accumulate_cdf(pmf(), base, granularity)
     raise NotImplementedError(
         f"no compile-time inversion for demand spec {tag!r} (an arbitrary "
         "host callable); pre-sample demand or use a named spec")

@@ -936,7 +936,6 @@ def fold_actor_params(cfg, model_params, rms=None):
     W1' = W1 * invstd[:, None] and b1' = b1 - (mu * invstd) @ W1.
     Layers are the pi trunk (activation after each) plus the mean head
     (no activation), matching make_eval_policy's deterministic path."""
-    import numpy as np
     assert getattr(cfg, "activation", "tanh") == "tanh", (
         "policy-in-kernel supports tanh trunks (the benchmark default); "
         f"got activation={cfg.activation!r}")
@@ -953,6 +952,22 @@ def fold_actor_params(cfg, model_params, rms=None):
         bs[0] = bs[0] - (mu * invstd) @ Ws[0]
         Ws[0] = Ws[0] * invstd[:, None]
     return tuple(Ws), tuple(bs)
+
+
+def apply_folded_actor(actor, obs, low, high, int_actions: bool):
+    """The folded actor as plain XLA ops — the exact math the policy
+    kernels run, for fallback paths and cross-checks: tanh trunk, mean
+    head, networks.squash_action, optional int cast. ``obs`` (B, obs_dim);
+    returns (B, act_dim)."""
+    from or_gym_inventory_tpu.agents import networks
+    Ws, bs = actor
+    H = obs.astype(jnp.float32)
+    for i, (W, b) in enumerate(zip(Ws, bs)):
+        H = H @ W + b
+        if i < len(Ws) - 1:
+            H = jnp.tanh(H)
+    a = networks.squash_action(H, low, high)
+    return a.astype(jnp.int32) if int_actions else a
 
 
 def _im_obs_rows(params: InvManagementParams, t, inv, AH):

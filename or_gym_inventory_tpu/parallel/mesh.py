@@ -137,7 +137,10 @@ def sharded_random_episode_returns(params, key: jax.Array, num_envs: int,
     # letting the kernel assert fire on a real mesh; with no valid block
     # (local not a multiple of 1024) take the XLA rollout path instead.
     if use_pallas:
-        start = min(block, local) // 1024 * 1024
+        # clamp UP to 1024 first (matching the single-device dispatcher's
+        # max(block, 1024)) so a small requested block doesn't round to 0
+        # and silently drop the kernel path for a perfectly valid mesh
+        start = min(max(block, 1024), local) // 1024 * 1024
         fixed = next((b for b in range(start, 0, -1024) if local % b == 0),
                      None)
         if fixed is None:

@@ -103,7 +103,7 @@ def random_episode_returns(params, key: jax.Array, batch: int,
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             hi = float(T.order_cap_heuristic * 2)
             return episode_returns_fully_fused(
-                params, seed, hi, batch, block=block,
+                params, seed, hi, batch, block=max(block, 1024),
                 episodes_per_lane=E).reshape(-1)
 
         xla = lambda: _xla_fallback(net.ENV, params, key, E * batch,
@@ -148,25 +148,27 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
         raise TypeError(f"Unknown params type {type(params).__name__}")
 
     def xla():
-        space = env.action_space(params)
         import numpy as np
+
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+            apply_folded_actor
+        space = env.action_space(params)
         low = jnp.asarray(space.low, jnp.float32)
         high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
                            jnp.float32)
         int_actions = np.issubdtype(space.dtype, np.integer)
-        Ws, bs = actor
 
         def policy(_s, obs, _k, _t):
-            H = obs.astype(jnp.float32)
-            for i, (W, b) in enumerate(zip(Ws, bs)):
-                H = H @ W + b
-                if i < len(Ws) - 1:
-                    H = jnp.tanh(H)
-            a = low + (jnp.tanh(H) + 1.0) * 0.5 * (high - low)
-            return a.astype(jnp.int32) if int_actions else a
+            return apply_folded_actor(actor, obs, low, high, int_actions)
 
         _, traj = vecenv.rollout(env, params, policy, None, key, E * batch,
                                  env.horizon(params))
+        # newsvendor step rewards are UNdiscounted (the kernels and the
+        # reference accumulate gamma**t); IM/net discount in-step
+        if isinstance(params, nv.NewsvendorParams) and params.gamma != 1.0:
+            w = params.gamma ** jnp.arange(params.step_limit,
+                                           dtype=jnp.float32)
+            return jnp.sum(w[:, None] * traj.reward, axis=0)
         return jnp.sum(traj.reward, axis=0)
 
     if use_pallas and jax.default_backend() == "tpu":
@@ -192,7 +194,8 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
                 return episode_returns_net_policy(
                     params, actor, seed, batch, block=max(block, 1024),
                     episodes_per_lane=E).reshape(-1)
-            except NotImplementedError as e:  # hostfn demand link
+            except NotImplementedError as e:  # e.g. hostfn demand link
                 warnings.warn(f"policy kernel unavailable ({e}); falling "
                               "back to the XLA rollout", RuntimeWarning)
     return xla()
+

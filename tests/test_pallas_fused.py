@@ -102,6 +102,31 @@ def test_topology_link_specs_cover_every_named_spec():
         specs_for(("hostfn", lambda **kw: 0, ()))
 
 
+def test_negbinomial_table_survives_pmf0_underflow():
+    """pmf(0) = p^n can underflow float64 (n=8000, p=0.9 -> ~1e-366); the
+    log-space recurrence still builds a correct table around the bulk of
+    the mass (mean n(1-p)/p ~ 889, sd ~ 31 — well inside the cap)."""
+    from or_gym_inventory_tpu.ops import distributions as dist
+    base, table = dist.cdf_table_for_spec(("negbinomial", 8000, 0.9))
+    assert base == 0 and 889 < len(table) < 4096
+    t = np.asarray(table, np.float64)
+    assert np.all(np.diff(t) >= -1e-12) and 1.0 - t[-1] <= 2.0 ** -24
+    med = base + np.searchsorted(t.astype(np.float32), np.float32(0.5),
+                                 "right")
+    assert abs(med - 889) < 15
+
+
+def test_wide_distribution_refuses_instead_of_truncating():
+    """A distribution whose support exceeds the unroll cap must raise
+    NotImplementedError (-> the dispatchers' loud XLA fallback), never
+    silently truncate to a wrong law."""
+    from or_gym_inventory_tpu.ops import distributions as dist
+    with pytest.raises(NotImplementedError):
+        dist.discrete_cdf_table(dist.POISSON, {"mu": 50_000.0})
+    with pytest.raises(NotImplementedError):
+        dist.cdf_table_for_spec(("normal", 100_000.0, 5_000.0))
+
+
 def test_link_demand_inversion_matches_host_distributions():
     """_link_demand inversion of an exhaustive uniform grid reproduces each
     distribution's pmf (randint exact-uniform; normal matches Phi; base
