@@ -159,3 +159,45 @@ def sharded_random_episode_returns(params, key: jax.Array, num_envs: int,
                        out_specs=(P(axis_name), P()), check_vma=False)
     keys = jax.random.split(key, n_dev)
     return jax.jit(fn)(keys)
+
+
+def sharded_policy_episode_returns(params, actor, key: jax.Array,
+                                   num_envs: int, mesh: Optional[Mesh] = None,
+                                   axis_name: str = "env", block: int = 1024,
+                                   use_pallas: bool = True,
+                                   episodes_per_lane: int = 1):
+    """``vector.policy_episode_returns`` sharded over a device mesh — the
+    multi-chip form of the policy-in-kernel learned-policy evaluation.
+
+    ``actor`` (folded weights) is replicated to every device; each device
+    evaluates num_envs/n_devices independent episodes through its family's
+    policy kernel (XLA fallback off-TPU). Same communication shape as
+    :func:`sharded_random_episode_returns` — the only collective is the
+    pmean sanity scalar, so throughput scales linearly over ICI.
+    """
+    from or_gym_inventory_tpu.vector.fast_episodes import \
+        policy_episode_returns
+    mesh = mesh or make_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    local = num_envs // n_dev
+    if use_pallas:
+        start = min(max(block, 1024), local) // 1024 * 1024
+        fixed = next((b for b in range(start, 0, -1024) if local % b == 0),
+                     None)
+        if fixed is None:
+            use_pallas = False
+        else:
+            block = fixed
+
+    def per_device(actor, key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(axis_name))
+        rets = policy_episode_returns(params, actor, key, local, block=block,
+                                      use_pallas=use_pallas,
+                                      episodes_per_lane=episodes_per_lane)
+        return rets, jax.lax.pmean(jnp.mean(rets), axis_name)
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(P(), P(axis_name)),
+                       out_specs=(P(axis_name), P()), check_vma=False)
+    keys = jax.random.split(key, n_dev)
+    return jax.jit(fn)(actor, keys)

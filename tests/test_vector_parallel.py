@@ -88,6 +88,31 @@ def test_sharded_random_episode_returns():
     assert len({round(float(x), 3) for x in per_dev}) > 1
 
 
+def test_sharded_policy_episode_returns():
+    """The learned-policy evaluation workload over the mesh: actor
+    replicated, shards evaluate independent episodes, pmean sanity scalar
+    only (XLA fallback path on the CPU mesh)."""
+    from or_gym_inventory_tpu.agents import ppo
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = im.default_params(periods=5)
+    cfg = ppo.PPOConfig(pi_arch=(16,))
+    obs_dim = im.ENV.observation_space(params).shape[0]
+    model = ppo._make_model(im.ENV, params, cfg)
+    mp = model.init(jax.random.PRNGKey(0),
+                    np.zeros((1, obs_dim), np.float32))
+    actor = pek.fold_actor_params(cfg, mp,
+                                  ppo.RunningMeanStd.create(obs_dim))
+    rets, mean = pmesh.sharded_policy_episode_returns(
+        params, actor, jax.random.PRNGKey(3), num_envs=32,
+        episodes_per_lane=2)
+    rets = np.asarray(rets)
+    assert rets.shape == (64,) and np.isfinite(rets).all()
+    np.testing.assert_allclose(float(mean), rets.mean(), rtol=1e-5)
+    n_dev = jax.device_count()
+    per_dev = rets.reshape(n_dev, rets.size // n_dev).mean(1)
+    assert len({round(float(x), 3) for x in per_dev}) > 1
+
+
 def test_device_shards_are_independent():
     """Same global key, different device -> different episodes (folded keys)."""
     params = nv.default_params()
