@@ -93,6 +93,35 @@ def measure_learner(params, shape, num_envs):
                 us_per_update=round(best / U * 1e6))
 
 
+def measure_offpolicy(params, num_envs, algo="sac"):
+    """SAC/TD3/DDPG through the full off-policy update (one env step per
+    env + gradient step(s) per iteration, sharded replay)."""
+    from or_gym_inventory_tpu.agents import off_policy as op
+    cfg = op.OffPolicyConfig(algo=algo, num_envs=num_envs,
+                             buffer_size=max(1 << 18, num_envs * 4),
+                             batch_size=256, start_steps=0)
+    init, update, _ = op.make_offpolicy(im.ENV, params, cfg)
+    state = jax.jit(init)(jax.random.PRNGKey(0))
+    U = max(2, min(MAX_U, TARGET_STEPS // (num_envs * 8)))
+
+    def chunk(st, ks):
+        def body(carry, k):
+            st, m = update(carry, k)
+            return st, m["mean_step_reward"]
+
+        return jax.lax.scan(body, st, ks)[1]
+
+    keys = jax.random.split(jax.random.PRNGKey(1), U)
+    t0 = time.perf_counter()
+    best = time_fn(jax.jit(chunk), (state, keys))
+    compile_s = time.perf_counter() - t0 - 3 * best
+    steps = U * num_envs
+    return dict(updates_per_call=U, time_ms=round(best * 1e3, 2),
+                compile_s=round(compile_s, 1),
+                trained_steps_per_s=round(steps / best),
+                us_per_update=round(best / U * 1e6))
+
+
 def measure_rollout_only(params, num_envs):
     """Experience generation alone: the same fused policy+env scan the
     update starts with (policy inference + env step + auto-reset), no SGD."""
@@ -145,6 +174,8 @@ def main():
             try:
                 if shape == "rollout_only":
                     row = measure_rollout_only(params, num_envs)
+                elif shape in ("sac", "td3", "ddpg"):
+                    row = measure_offpolicy(params, num_envs, shape)
                 else:
                     row = measure_learner(params, shape, num_envs)
             except Exception as e:
