@@ -38,10 +38,12 @@ NUM_ENVS_PALLAS = 4_194_304  # 4M lanes amortize the ~20-25 ms relay floor
                              # (OGT_BATCH=4194304 tools/ilp_probe.py: 2.0x
                              # over 1M lanes at E=4; 8M+ risks the relay
                              # remote-compile hang, CLAUDE.md)
-EPISODES_PER_LANE = 8   # independent episodes per lane: breaks the serial
+EPISODES_PER_LANE = 16  # independent episodes per lane: breaks the serial
                         # contention-chain ILP ceiling (tools/ilp_probe.py:
                         # E=2 -> 1.84x, E=4 -> 3.01x at 1M lanes; at the 4M
-                        # operating point E=8 measures 8.50B vs E=4's 6.98B)
+                        # operating point E=8 measures 8.50B and E=16 9.20B
+                        # — adoptable since the dump kernel's episode-RANGE
+                        # slicing keeps the cross-check inside VMEM)
 PALLAS_BLOCK = 1024
 NUM_ENVS_XLA = 262_144
 NUM_STEPS = 30
@@ -104,30 +106,35 @@ def _crosscheck_kernel(params):
 
     # the interleaved-episode path (the timed configuration) must reproduce
     # per episode through the pre-materialized kernel as well. The dump
-    # kernel materializes T*E*(n_ro+n_rt) rows in VMEM, so the E-widened
-    # check runs at 1024 envs (4096 at E=8 exceeds the 16 MB scoped-vmem
-    # stack limit — the TIMED kernel has no such buffer and is unaffected).
+    # kernel materializes its written rows in VMEM, so the E-widened check
+    # runs at 1024 envs and dumps the episodes in 8-episode RANGES (a full
+    # E=16 dump would need ~24 MB of scoped vmem; the TIMED kernel has no
+    # such buffer and is unaffected — all streams are still drawn in every
+    # dump launch, so PRNG consumption matches the fused kernel exactly).
     E = EPISODES_PER_LANE
     ce_envs = 1024
-    acts_e, dems_e = jax.jit(
-        pk.sample_streams_debug,
-        static_argnames=("act_hi", "batch", "block", "episodes_per_lane"))(
-            params, seed, act_hi=hi, batch=ce_envs, block=1024,
-            episodes_per_lane=E)
     multi_ret = np.asarray(jax.jit(
         pk.episode_returns_fully_fused,
         static_argnames=("act_hi", "batch", "block", "episodes_per_lane"))(
             params, seed, act_hi=hi, batch=ce_envs, block=1024,
             episodes_per_lane=E))
-    for e in range(E):
-        per = jax.jit(pk.episode_returns, static_argnames="block")(
-            params, acts_e[:, e], dems_e[:, e], block=512)
-        if not np.allclose(multi_ret[e], np.asarray(per), rtol=1e-5,
-                           atol=1e-3):
-            worst = float(np.abs(multi_ret[e] - np.asarray(per)).max())
-            raise RuntimeError(
-                f"interleaved-episode kernel episode {e} disagrees with the "
-                f"pre-materialized kernel (max |diff| = {worst:.4g})")
+    for e0 in range(0, E, 8):
+        e1 = min(e0 + 8, E)
+        acts_e, dems_e = jax.jit(
+            pk.sample_streams_debug,
+            static_argnames=("act_hi", "batch", "block",
+                             "episodes_per_lane", "dump_range"))(
+                params, seed, act_hi=hi, batch=ce_envs, block=1024,
+                episodes_per_lane=E, dump_range=(e0, e1))
+        for e in range(e0, e1):
+            per = jax.jit(pk.episode_returns, static_argnames="block")(
+                params, acts_e[:, e - e0], dems_e[:, e - e0], block=512)
+            if not np.allclose(multi_ret[e], np.asarray(per), rtol=1e-5,
+                               atol=1e-3):
+                worst = float(np.abs(multi_ret[e] - np.asarray(per)).max())
+                raise RuntimeError(
+                    f"interleaved-episode kernel episode {e} disagrees with "
+                    f"the pre-materialized kernel (max |diff| = {worst:.4g})")
 
     @jax.jit
     def xla_ret(actions, demands):

@@ -346,27 +346,34 @@ def _episode_kernel_body_fully_fused(
 
 
 def _streams_debug_kernel_body(n_ro, n_rt, num_steps, act_hi, link_specs,
-                               n_episodes, seed_ref, acts_ref, dems_ref):
+                               n_episodes, e0, e1, seed_ref, acts_ref,
+                               dems_ref):
     """Replays the fused kernel's exact PRNG consumption order and writes the
     action/demand streams out (test/cross-check support). Same (rows, sub,
     128) layout as the fused kernel — the PRNG bit->lane assignment depends
     on the requested shape, so both kernels must draw identical shapes
-    (including the episodes_per_lane-widened rows)."""
+    (including the episodes_per_lane-widened rows). ``[e0, e1)`` selects
+    which episodes' streams are WRITTEN (all are drawn — consumption must
+    match the fused kernel exactly); slicing keeps the dump buffers inside
+    the VMEM budget at high interleave (E=16 full dump would need ~24 MB)."""
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     E = n_episodes
-    tile = acts_ref.shape[1:]
+    W = e1 - e0
     scale = act_hi / float(1 << 24)
     for t in range(num_steps):
+        tile = acts_ref.shape[1:]
         bits = pltpu.bitcast(pltpu.prng_random_bits((E * n_ro,) + tile),
                              jnp.uint32)
         u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
         acts = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * scale
         for i in range(E * n_ro):
-            acts_ref[t * E * n_ro + i] = acts[i]
+            if e0 * n_ro <= i < e1 * n_ro:
+                acts_ref[t * W * n_ro + (i - e0 * n_ro)] = acts[i]
         u = _uniform24((E * n_rt,) + tile)
         for j in range(E * n_rt):
-            dems_ref[t * E * n_rt + j] = _link_demand(
-                link_specs[j % n_rt], u[j], t)
+            if e0 * n_rt <= j < e1 * n_rt:
+                dems_ref[t * W * n_rt + (j - e0 * n_rt)] = _link_demand(
+                    link_specs[j % n_rt], u[j], t)
 
 
 def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
@@ -420,17 +427,26 @@ def episode_returns_fully_fused(params: NetInvParams, seed, act_hi: float,
 def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
                          batch: int, num_steps: int = None,
                          block: int = 2048, interpret: bool = False,
-                         episodes_per_lane: int = 1):
+                         episodes_per_lane: int = 1, dump_range=None):
     """The exact action/demand streams episode_returns_fully_fused consumes
     for ``seed`` — for pinning the fused kernel bit-exactly against
     episode_returns / the XLA step chain. Must be called with the same
     ``block`` and ``episodes_per_lane`` as the fused kernel (PRNG
     consumption is per-tile and widened by E). Returns
     (actions (num_steps, n_ro, batch), demands (num_steps, n_rt, batch))
-    for episodes_per_lane=1, else with an extra E axis after num_steps."""
+    for episodes_per_lane=1, else with an extra E axis after num_steps.
+
+    ``dump_range=(e0, e1)`` writes only that slice of the interleaved
+    episodes (all streams are still drawn, so PRNG consumption matches the
+    fused kernel); the returned E axis then has length e1-e0. Use it to
+    cross-check high-E configurations whose full dump would exceed the
+    per-tile VMEM budget (the fused kernel itself has no such buffer)."""
     T = params.topology
     n_ro, n_rt = T.n_reorder, T.n_retail
     E = episodes_per_lane
+    e0, e1 = dump_range if dump_range is not None else (0, E)
+    assert 0 <= e0 < e1 <= E, (e0, e1, E)
+    W = e1 - e0
     num_steps = params.num_periods if num_steps is None else num_steps
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
@@ -442,23 +458,23 @@ def sample_streams_debug(params: NetInvParams, seed, act_hi: float,
                             memory_space=pltpu.VMEM)
 
     kernel = partial(_streams_debug_kernel_body, n_ro, n_rt, num_steps,
-                     float(act_hi), link_specs, E)
+                     float(act_hi), link_specs, E, e0, e1)
     acts, dems = pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[spec(num_steps * E * n_ro), spec(num_steps * E * n_rt)],
+        out_specs=[spec(num_steps * W * n_ro), spec(num_steps * W * n_rt)],
         out_shape=[
-            jax.ShapeDtypeStruct(shape3(num_steps * E * n_ro), jnp.float32),
-            jax.ShapeDtypeStruct(shape3(num_steps * E * n_rt), jnp.float32),
+            jax.ShapeDtypeStruct(shape3(num_steps * W * n_ro), jnp.float32),
+            jax.ShapeDtypeStruct(shape3(num_steps * W * n_rt), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1))
     if E == 1:
         return (acts.reshape(num_steps, n_ro, batch),
                 dems.reshape(num_steps, n_rt, batch))
-    return (acts.reshape(num_steps, E, n_ro, batch),
-            dems.reshape(num_steps, E, n_rt, batch))
+    return (acts.reshape(num_steps, W, n_ro, batch),
+            dems.reshape(num_steps, W, n_rt, batch))
 
 
 # --------------------- policy-in-kernel NetInvMgmt (MXU actor, MLP eval)

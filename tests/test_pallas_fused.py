@@ -297,6 +297,30 @@ def test_fused_kernel_interleaved_episodes_pinned():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_sample_streams_dump_range_slices_match_full_dump():
+    """dump_range slices are bit-identical to the corresponding slice of a
+    full dump (all streams drawn either way — only the writes are sliced),
+    so the bench E=16 cross-check can dump in VMEM-sized ranges."""
+    params = net.default_params(num_periods=6)
+    hi = float(params.topology.order_cap_heuristic * 2)
+    seed = jnp.asarray(61, jnp.int32)
+    B, E = 1024, 4
+    full_a, full_d = pns.sample_streams_debug(params, seed, hi, B,
+                                              block=1024,
+                                              episodes_per_lane=E)
+    for e0, e1 in ((0, 2), (2, 4), (1, 3)):
+        a, d = pns.sample_streams_debug(params, seed, hi, B, block=1024,
+                                        episodes_per_lane=E,
+                                        dump_range=(e0, e1))
+        np.testing.assert_array_equal(np.asarray(a),
+                                      np.asarray(full_a[:, e0:e1]))
+        np.testing.assert_array_equal(np.asarray(d),
+                                      np.asarray(full_d[:, e0:e1]))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 def test_fused_kernel_nonpoisson_links_pinned_by_dumped_streams():
     """The generalized fused demand path: a binomial retail link and a
     deterministic user-array link both run through the fully-fused kernel
