@@ -82,3 +82,16 @@ from or_gym_inventory_tpu.utils import checkpoint as ckpt
 path = ckpt.save_pytree("/tmp/ogt_quickstart_policy.msgpack",
                         {"params": state.params})
 print(f"[checkpoint] policy saved to {path}")
+
+# --------------------------------------- 6. learned-policy eval, kernel speed
+# the trained actor folded to plain arrays, evaluated by the
+# policy-in-kernel episode evaluator (1.3-2.4B steps/s on TPU; identical
+# XLA fallback elsewhere — PERFORMANCE.md round 4)
+from or_gym_inventory_tpu.ops.pallas_episode_kernels import fold_actor_params
+from or_gym_inventory_tpu.vector import policy_episode_returns
+
+actor = fold_actor_params(cfg, state.params, state.rms)
+rets = policy_episode_returns(im_params, actor, jax.random.PRNGKey(4),
+                              batch=4096)
+print(f"[policy-eval] 4096 deterministic episodes: "
+      f"mean {float(jnp.mean(rets)):.1f}")
