@@ -160,9 +160,13 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
     episode-for-episode comparable with the host path's Seed column.
 
     Operational metrics come from the stacked trajectory infos. Wall time is
-    one WARM program execution divided across episodes; trace+compile cost is
+    one WARM program execution divided across episodes; the warm-up cost is
     reported separately as ``compile_seconds`` (never folded into Time /
-    steps_per_second).
+    steps_per_second). Note ``compile_seconds`` is measured around a full
+    warm-up call, so it includes trace + compile + ONE execution + host
+    fetch (subtract the reported warm time for a pure compile figure, or
+    use ``run.lower(...).compile()``), and the evaluation executes twice in
+    total — the warm-up run plus the timed run.
     """
     policy = agent.device_policy(env, params)
     if policy is None:

@@ -172,6 +172,12 @@ def discrete_cdf_table(dist: int, dist_param: Dict,
     if dist == RANDINT:
         low, high = int(dist_param["low"]), int(dist_param["high"])
         span = high - low + 1
+        if span - 1 > _TABLE_CAP:
+            # keep the loud-fallback contract uniform: a wide span would
+            # otherwise silently unroll thousands of per-entry VPU compares
+            raise NotImplementedError(
+                f"randint span {span} exceeds the {_TABLE_CAP}-entry "
+                "inversion-table cap; pre-sample this distribution instead")
         return low, tuple(float(np.float32((k + 1) / span))
                           for k in range(span - 1))
     if dist == GEOMETRIC:

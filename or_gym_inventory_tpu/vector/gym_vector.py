@@ -71,30 +71,43 @@ class BatchedGymVectorEnv(VectorEnv):
 
         def _step_next(state, pending, action, key):
             # NEXT_STEP: envs flagged ``pending`` reset instead of stepping
-            # (their action is discarded, reward 0, done False). Both the
-            # step and the reset compute for the full batch with a
-            # per-env select — the same cost shape as auto_reset, and
-            # all-or-none under lockstep fixed horizons anyway.
+            # (their action is discarded, reward 0, done False). The step
+            # computes for the full batch; the reset-and-merge only runs
+            # when some env is actually pending (lax.cond — under lockstep
+            # fixed horizons that is 1 step in `horizon`), so non-terminal
+            # steps cost the same as a plain batch_step
+            # (tests/test_gym_vector.py pins the structure and the timing).
             step_key, reset_key = jax.random.split(key)
             state_s, ts = vecenv.batch_step(env, params, state, action,
                                             step_key, num_envs)
-            state_r, ts_r = vecenv.batch_reset(env, params, reset_key,
-                                               num_envs)
 
-            def sel(new, old):
-                p = pending.reshape(pending.shape
-                                    + (1,) * (new.ndim - pending.ndim))
-                return jnp.where(p, new, old)
+            def with_reset(operand):
+                state_s, ts = operand
+                state_r, ts_r = vecenv.batch_reset(env, params, reset_key,
+                                                   num_envs)
 
-            state = jax.tree_util.tree_map(sel, state_r, state_s)
-            obs = sel(ts_r.obs, ts.obs)
-            zero = jnp.zeros_like(ts.reward)
-            false = jnp.zeros_like(ts.terminated)
-            reward = sel(zero, ts.reward)
-            terminated = sel(false, ts.terminated)
-            truncated = sel(false, ts.truncated)
-            new_pending = terminated | truncated
-            return state, (obs, reward, terminated, truncated), new_pending
+                def sel(new, old):
+                    p = pending.reshape(pending.shape
+                                        + (1,) * (new.ndim - pending.ndim))
+                    return jnp.where(p, new, old)
+
+                state = jax.tree_util.tree_map(sel, state_r, state_s)
+                obs = sel(ts_r.obs, ts.obs)
+                zero = jnp.zeros_like(ts.reward)
+                false = jnp.zeros_like(ts.terminated)
+                return state, (obs, sel(zero, ts.reward),
+                               sel(false, ts.terminated),
+                               sel(false, ts.truncated))
+
+            def no_reset(operand):
+                state_s, ts = operand
+                return state_s, (ts.obs, ts.reward, ts.terminated,
+                                 ts.truncated)
+
+            state, out = jax.lax.cond(jnp.any(pending), with_reset,
+                                      no_reset, (state_s, ts))
+            new_pending = out[2] | out[3]
+            return state, out, new_pending
 
         def _step_plain(state, action, key):
             return vecenv.batch_step(env, params, state, action, key,
@@ -121,10 +134,17 @@ class BatchedGymVectorEnv(VectorEnv):
             self._state, next_obs, ts = self._step_same(
                 self._state, actions, self._next_key())
             final_obs = np.asarray(ts.obs)
+            done = np.asarray(ts.terminated) | np.asarray(ts.truncated)
             info = {
                 "final_obs": final_obs,        # gymnasium >= 1.0 name
                 "final_info": {},
                 "final_observation": final_obs,  # pre-1.0 name
+                # gymnasium SAME_STEP convention: boolean masks flagging
+                # which envs actually terminated this step (all-or-none
+                # under lockstep fixed horizons, but mask-aware consumers
+                # should not have to know that)
+                "_final_obs": done,
+                "_final_info": done,
             }
             return (np.asarray(next_obs), np.asarray(ts.reward),
                     np.asarray(ts.terminated), np.asarray(ts.truncated), info)

@@ -110,6 +110,66 @@ def test_next_step_autoreset_mode():
     w.close()
 
 
+def test_same_step_final_mask_keys():
+    """gymnasium SAME_STEP convention: `_final_obs`/`_final_info` boolean
+    masks flag which envs actually terminated, so mask-aware consumers
+    don't have to assume all-or-none."""
+    params = im.default_params(periods=2)
+    venv = BatchedGymVectorEnv(im.ENV, params, num_envs=4, seed=0)
+    venv.reset()
+    a = np.tile(np.array([5, 5, 5], np.int32), (4, 1))
+    _, _, term, trunc, info = venv.step(a)
+    assert info["_final_obs"].dtype == bool
+    np.testing.assert_array_equal(info["_final_obs"], term | trunc)
+    np.testing.assert_array_equal(info["_final_info"], term | trunc)
+    assert not info["_final_obs"].any()
+    _, _, term, trunc, info = venv.step(a)       # horizon reached
+    assert info["_final_obs"].all() and info["_final_info"].all()
+
+
+def test_next_step_nonterminal_cost_matches_plain_step():
+    """The NEXT_STEP deferred reset is guarded by lax.cond: non-terminal
+    steps must not pay for a full batch_reset (structure pinned via the
+    lowered HLO; timing compared against DISABLED-mode plain stepping
+    with a generous margin)."""
+    import time
+
+    import jax
+
+    params = im.default_params(periods=100000)  # never terminal in-window
+    n = 2048
+    venv = BatchedGymVectorEnv(im.ENV, params, num_envs=n, seed=0,
+                               autoreset_mode=AutoresetMode.NEXT_STEP)
+    plain = BatchedGymVectorEnv(im.ENV, params, num_envs=n, seed=0,
+                                autoreset_mode=AutoresetMode.DISABLED)
+    venv.reset()
+    plain.reset()
+    a = np.tile(np.array([5, 5, 5], np.int32), (n, 1))
+
+    # structural pin: the reset branch lowers to a conditional region
+    txt = venv._step_next.lower(venv._state, venv._pending,
+                                a, jax.random.PRNGKey(0)).as_text()
+    assert ("stablehlo.if" in txt) or ("stablehlo.case" in txt), \
+        "NEXT_STEP reset is no longer conditional"
+
+    def best_of(env_, k=5, iters=8):
+        for _ in range(2):           # warm the jit
+            env_.step(a)
+        times = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                env_.step(a)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_plain = best_of(plain)
+    t_next = best_of(venv)
+    # old implementation paid step + reset + full-tree select every step
+    # (>= 2x); the cond path should be within noise of a plain step
+    assert t_next < 1.7 * t_plain, (t_next, t_plain)
+
+
 def test_disabled_autoreset_mode():
     params = im.default_params(periods=2)
     venv = BatchedGymVectorEnv(im.ENV, params, num_envs=4, seed=0,

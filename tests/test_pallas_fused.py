@@ -125,6 +125,10 @@ def test_wide_distribution_refuses_instead_of_truncating():
         dist.discrete_cdf_table(dist.POISSON, {"mu": 50_000.0})
     with pytest.raises(NotImplementedError):
         dist.cdf_table_for_spec(("normal", 100_000.0, 5_000.0))
+    # RANDINT builds its table directly (exact-uniform thresholds, no pmf
+    # accumulator) — a wide span must take the same loud refusal
+    with pytest.raises(NotImplementedError):
+        dist.discrete_cdf_table(dist.RANDINT, {"low": 0, "high": 100_000})
 
 
 def test_link_demand_inversion_matches_host_distributions():
