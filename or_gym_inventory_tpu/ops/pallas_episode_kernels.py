@@ -53,6 +53,25 @@ def _uniform01(shape):
     return u[0] if squeeze else u
 
 
+def _normal01(shape):
+    """In-kernel standard normals: Box-Muller over two `_uniform01` draws.
+
+    ``r = sqrt(-2 ln(1 - u1))`` (1 - u1 is in (0, 1] exactly for 24-bit
+    uniforms, so the log never sees 0; the radius caps at
+    sqrt(48 ln 2) ~ 5.77 — the tail truncation matches the uniform's
+    2^-24 resolution, the same convention as the CDF-inversion samplers)
+    and ``z = r cos(2 pi u2)``. Consumes exactly two PRNG draws of
+    ``shape`` (u1 then u2) — streams-debug kernels replay this order.
+    The sine twin is deliberately unused: one extra transcendental per
+    draw buys stream-replay simplicity (every normal is a pure function
+    of its own two uniforms, independent of the request's shape
+    factorization)."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
+    return r * jnp.cos((2.0 * 3.14159265358979323846) * u2)
+
+
 # ============================================================== Newsvendor
 
 def _nv_step_math(params: NewsvendorParams, P, price, cost, h, k,
@@ -524,8 +543,9 @@ def sample_streams_debug_nv(params: NewsvendorParams, econ, seed,
 
 def _nv_policy_kernel(params: NewsvendorParams, num_steps, K, chunk,
                       act_name, precision, n_layers, n_episodes,
-                      dump_streams, *refs):
-    """Whole episode under a fused deterministic MLP policy, reset fused
+                      dump_streams, stochastic, *refs):
+    """Whole episode under a fused MLP policy (deterministic, or with
+    in-kernel Gaussian exploration when ``stochastic``), reset fused
     too: econ drawn on-core (newsvendor.py:105-111), per-lane dynamic-mu
     Poisson demand inverted in chunks, obs = [econ, pipeline]
     (newsvendor.py obs layout, envs/newsvendor._obs) assembled from live
@@ -533,7 +553,9 @@ def _nv_policy_kernel(params: NewsvendorParams, num_steps, K, chunk,
     seed_ref = refs[0]
     Ws_refs = refs[1:1 + n_layers]
     bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
-    outs = refs[1 + 2 * n_layers:]
+    rest = refs[1 + 2 * n_layers:]
+    std_ref = rest[0] if stochastic else None
+    outs = rest[1:] if stochastic else rest
     if dump_streams:
         rew_ref, econ_ref, acts_ref, dems_ref = outs
     else:
@@ -564,6 +586,8 @@ def _nv_policy_kernel(params: NewsvendorParams, num_steps, K, chunk,
                 obs_rows = [price, cost, h, k, mu] + P[e]
                 H = mlp_forward(Ws_refs, bs_refs, act_name, precision,
                                 obs_rows)
+                if std_ref is not None:
+                    H = H + std_ref[...] * _normal01(H.shape)
                 order_raw = ((jnp.tanh(H[0:1]) + 1.0) * (0.5 * hi)
                              ).reshape(tile)
                 P[e], reward = _nv_step_math(params, P[e], price, cost, h,
@@ -577,7 +601,8 @@ def _nv_policy_kernel(params: NewsvendorParams, num_steps, K, chunk,
 
 
 def _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
-                    episodes_per_lane, dump_streams, interpret, precision):
+                    episodes_per_lane, dump_streams, interpret, precision,
+                    log_std=None):
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
     E = episodes_per_lane
@@ -585,7 +610,8 @@ def _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
     _Wb, K, _lg = _nv_window(params)
     Ws, bs = actor
     kernel = partial(_nv_policy_kernel, params, T, K, demand_chunk, "tanh",
-                     precision, len(Ws), E, dump_streams)
+                     precision, len(Ws), E, dump_streams,
+                     log_std is not None)
 
     def tspec(rows):
         return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
@@ -604,28 +630,36 @@ def _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
         out_specs, out_shape = out_specs[0], out_shape[0]
     Ws2 = [w.T for w in Ws]
     bs2 = [b.reshape(-1, 1) for b in bs]
+    extra = []
+    if log_std is not None:               # gaussian_sample's clipped std
+        extra.append(jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                                      -10.0, 2.0)).reshape(-1, 1))
     return pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2],
+        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2]
+        + [wspec(a) for a in extra],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2, *extra)
 
 
 def episode_returns_nv_policy(params: NewsvendorParams, actor, seed,
                               batch: int, block: int = 1024,
                               demand_chunk: int = 16,
                               interpret: bool = False,
-                              episodes_per_lane: int = 1, precision=None):
-    """Deterministic learned-policy Newsvendor episode returns — reset,
-    demand, AND the MLP actor all fused in-kernel. ``actor`` from
-    fold_actor_params. Returns (batch,) or (episodes_per_lane, batch)."""
+                              episodes_per_lane: int = 1, precision=None,
+                              log_std=None):
+    """Learned-policy Newsvendor episode returns — reset, demand, AND the
+    MLP actor all fused in-kernel. ``actor`` from fold_actor_params.
+    Deterministic by default; pass the trained ``log_std`` for stochastic
+    evaluation (in-kernel Box-Muller exploration noise). Returns (batch,)
+    or (episodes_per_lane, batch)."""
     E = episodes_per_lane
     out = _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
-                          E, False, interpret, precision)
+                          E, False, interpret, precision, log_std)
     return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
@@ -634,14 +668,15 @@ def sample_policy_streams_debug_nv(params: NewsvendorParams, actor, seed,
                                    demand_chunk: int = 16,
                                    interpret: bool = False,
                                    episodes_per_lane: int = 1,
-                                   precision=None):
+                                   precision=None, log_std=None):
     """(returns, econ (E, 5, batch), actions (T, E, batch), demands
     (T, E, batch)) — the exact streams the NV policy kernel
-    produced/consumed (PRNG consumption: econ then demand chunks)."""
+    produced/consumed (PRNG consumption: econ, then demand chunks,
+    plus the per-period noise draws when ``log_std`` is given)."""
     T, E = params.step_limit, episodes_per_lane
     rew, econ, acts, dems = _nv_policy_call(
         params, actor, seed, batch, block, demand_chunk, E, True,
-        interpret, precision)
+        interpret, precision, log_std)
     rew = rew.reshape(batch) if E == 1 else rew.reshape(E, batch)
     return (rew, econ.reshape(E, 5, batch), acts.reshape(T, E, batch),
             dems.reshape(T, E, batch))
@@ -1012,12 +1047,18 @@ def mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows):
 
 
 def _policy_actions(params, Ws_refs, bs_refs, act_name, precision,
-                    obs_rows):
-    """Deterministic actor on the MXU: mlp_forward then tanh-squash to
-    [0, c] -> int32 (make_eval_policy's exact deterministic math,
-    networks.squash_action + the int cast)."""
+                    obs_rows, std_ref=None):
+    """Actor on the MXU: mlp_forward then tanh-squash to [0, c] -> int32
+    (make_eval_policy's exact deterministic math, networks.squash_action +
+    the int cast). With ``std_ref`` ((act_dim, 1), exp of the clipped
+    log_std) the pre-squash mean gets Gaussian exploration noise from the
+    in-kernel Box-Muller sampler — networks.gaussian_sample's math on the
+    hardware PRNG stream (one (act_dim, lanes)-shaped `_normal01` draw per
+    call, i.e. two uniforms)."""
     tile = obs_rows[0].shape
     H = mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows)
+    if std_ref is not None:
+        H = H + std_ref[...] * _normal01(H.shape)
     # squash to [0, c]: low = 0, high = c_i (static scalar per action row —
     # Python floats inline as immediates; a traced array would be a
     # captured constant, which pallas_call rejects)
@@ -1027,14 +1068,18 @@ def _policy_actions(params, Ws_refs, bs_refs, act_name, precision,
 
 
 def _im_policy_kernel(params: InvManagementParams, num_steps, spec, act_name,
-                      precision, n_layers, n_episodes, dump_streams, *refs):
-    """Whole episode under the fused deterministic MLP policy; optionally
-    dumps the action/demand streams it produces (for pinning through the
+                      precision, n_layers, n_episodes, dump_streams,
+                      stochastic, *refs):
+    """Whole episode under the fused MLP policy (deterministic, or with
+    in-kernel Gaussian exploration when ``stochastic``); optionally dumps
+    the action/demand streams it produces (for pinning through the
     pre-materialized kernel / the XLA chain)."""
     seed_ref = refs[0]
     Ws_refs = refs[1:1 + n_layers]
     bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
-    outs = refs[1 + 2 * n_layers:]
+    rest = refs[1 + 2 * n_layers:]
+    std_ref = rest[0] if stochastic else None
+    outs = rest[1:] if stochastic else rest
     if dump_streams:
         rew_ref, acts_ref, dems_ref = outs
     else:
@@ -1055,7 +1100,8 @@ def _im_policy_kernel(params: InvManagementParams, num_steps, spec, act_name,
         for e in range(E):
             acts = _policy_actions(params, Ws_refs, bs_refs, act_name,
                                    precision,
-                                   _im_obs_rows(params, t, inv[e], AH[e]))
+                                   _im_obs_rows(params, t, inv[e], AH[e]),
+                                   std_ref)
             inv[e], bkl[e], RH[e], r_req, profit = _im_step_math(
                 params, t, inv[e], bkl[e], RH[e], acts, dems[e])
             if lt:
@@ -1070,7 +1116,7 @@ def _im_policy_kernel(params: InvManagementParams, num_steps, spec, act_name,
 
 
 def _im_policy_call(params, actor, seed, batch, block, episodes_per_lane,
-                    dump_streams, interpret, precision=None):
+                    dump_streams, interpret, precision=None, log_std=None):
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     sub = block // 128
     E = episodes_per_lane
@@ -1078,7 +1124,7 @@ def _im_policy_call(params, actor, seed, batch, block, episodes_per_lane,
     Ws, bs = actor
     spec = _im_demand_spec(params)
     kernel = partial(_im_policy_kernel, params, T, spec, "tanh", precision,
-                     len(Ws), E, dump_streams)
+                     len(Ws), E, dump_streams, log_std is not None)
 
     def tspec(rows):
         return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
@@ -1099,33 +1145,43 @@ def _im_policy_call(params, actor, seed, batch, block, episodes_per_lane,
         out_specs, out_shape = out_specs[0], out_shape[0]
     Ws = [w.T for w in Ws]                # kernel wants (out, in)
     bs2 = [b.reshape(-1, 1) for b in bs]  # (out, 1): lane-broadcastable
+    extra = []
+    if log_std is not None:               # gaussian_sample's clipped std
+        extra.append(jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                                      -10.0, 2.0)).reshape(-1, 1))
     outs = pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [wspec(w) for w in Ws] + [wspec(b) for b in bs2],
+        + [wspec(w) for w in Ws] + [wspec(b) for b in bs2]
+        + [wspec(a) for a in extra],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws, *bs2)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws, *bs2, *extra)
     return outs
 
 
 def episode_returns_im_policy(params: InvManagementParams, actor, seed,
                               batch: int, block: int = 1024,
                               interpret: bool = False,
-                              episodes_per_lane: int = 1, precision=None):
-    """Deterministic learned-policy episode returns, policy fused in-kernel.
+                              episodes_per_lane: int = 1, precision=None,
+                              log_std=None):
+    """Learned-policy episode returns, policy fused in-kernel.
 
     ``actor`` is ``(Ws, bs)`` from ``fold_actor_params`` (pi trunk + mean
     head, obs normalization pre-folded). Demand is sampled on-core from the
     compile-time CDF tables (all four stochastic dist modes; USER baked).
+    Deterministic by default; pass the trained ``log_std`` ((act_dim,) —
+    e.g. ``model_params["params"]["log_std"]``) for stochastic evaluation
+    with in-kernel Box-Muller exploration noise (networks.gaussian_sample
+    semantics on the hardware PRNG stream).
     Returns (batch,) for episodes_per_lane=1, else (episodes_per_lane,
     batch). Pinned by ``sample_policy_streams_debug_im`` feeding
     ``episode_returns_im`` (tests/test_pallas_policy.py)."""
     E = episodes_per_lane
     out = _im_policy_call(params, actor, seed, batch, block, E, False,
-                          interpret, precision)
+                          interpret, precision, log_std)
     return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
@@ -1133,16 +1189,167 @@ def sample_policy_streams_debug_im(params: InvManagementParams, actor, seed,
                                    batch: int, block: int = 1024,
                                    interpret: bool = False,
                                    episodes_per_lane: int = 1,
-                                   precision=None):
+                                   precision=None, log_std=None):
     """Returns (returns, actions, demands) where actions (T, E, m1, batch)
     i32 and demands (T, E, batch) i32 are the exact streams the policy
-    kernel produced/consumed — identical PRNG consumption (demand only),
-    so the returns equal episode_returns_im_policy's for the same seed."""
+    kernel produced/consumed — identical PRNG consumption (demand, plus
+    the per-period noise draws when ``log_std`` is given), so the returns
+    equal episode_returns_im_policy's for the same seed."""
     T, m1, E = params.periods, params.m1, episodes_per_lane
     rew, acts, dems = _im_policy_call(params, actor, seed, batch, block, E,
-                                      True, interpret, precision)
+                                      True, interpret, precision, log_std)
     rew = rew.reshape(batch) if E == 1 else rew.reshape(E, batch)
     return (rew, acts.reshape(T, E, m1, batch), dems.reshape(T, E, batch))
+
+
+# ------------------- trajectory-emitting rollout (kernel experience gen)
+#
+# The policy-in-kernel evaluators above are returns-only by design; the
+# LEARNERS still generated experience through the XLA vmap rollout, whose
+# measured ceiling (~10-20M steps/s, PERFORMANCE.md) capped full PPO at
+# ~7.5M trained-steps/s while the same envs stepped at 1.9B+ under the
+# in-kernel actor. This kernel closes that gap: it runs ONE full episode
+# per lane under the STOCHASTIC MLP actor (mean on the MXU, exploration
+# noise from the in-kernel Box-Muller sampler — networks.gaussian_sample
+# semantics) and WRITES the training streams to HBM:
+#
+#   inv     ((T+1)*m1 rows, i32)  start-of-period on-hand + final snapshot
+#   actions (T*m1 rows, i32)      the env-consumed squashed ints
+#   raw     (T*m1 rows, f32)      pre-squash Gaussian samples (for logp)
+#   reward  (T rows, f32)         alpha^t-discounted period profit
+#                                 (reference reward semantics,
+#                                 inventory_management.py:322)
+#
+# That is "enough state to reconstruct" the full PPO batch: the
+# observation stream is a pure (static-index) function of inv + the
+# requested-action history (envs/inv_management._obs), assembled in XLA by
+# agents.ppo.assemble_im_obs with zero per-step device round-trips, and
+# logp/values are recomputed there in one batched forward — self-consistent
+# across SGD epochs by construction (the kernel's matmuls default to
+# HIGHEST precision so the recomputed mean matches the sampling mean to
+# ~1e-6). This replaces the rollout phase of model.learn
+# (reference benchmark_InvManagementBacklogEnv.py:298).
+
+def _im_traj_kernel(params: InvManagementParams, num_steps, spec, act_name,
+                    precision, n_layers, *refs):
+    seed_ref = refs[0]
+    Ws_refs = refs[1:1 + n_layers]
+    bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
+    std_ref = refs[1 + 2 * n_layers]
+    inv_ref, acts_ref, raw_ref, rew_ref = refs[2 + 2 * n_layers:]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    m1, lt = params.m1, params.lt_max
+    tile = rew_ref.shape[1:]
+    zero = jnp.zeros(tile, jnp.int32)
+    inv = [jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
+    bkl = [zero for _ in range(params.num_stages)]
+    RH = [zero for _ in range(lt * m1)]
+    AH = [zero for _ in range(lt * m1)]
+    for t in range(num_steps):
+        # PRNG order per period: demand draw, then one (m1, lanes) noise
+        # draw inside _policy_actions (two uniforms)
+        dems = _im_sample_demand(params, tile, t, spec, 1)
+        for i in range(m1):
+            inv_ref[t * m1 + i] = inv[i]
+        obs_rows = _im_obs_rows(params, t, inv, AH)
+        H = mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows)
+        H = H + std_ref[...] * _normal01(H.shape)
+        S = jnp.tanh(H) + 1.0
+        acts = []
+        for i in range(m1):
+            raw_ref[t * m1 + i] = H[i:i + 1].reshape(tile)
+            a = (S[i:i + 1] * (0.5 * float(params.c[i]))
+                 ).astype(jnp.int32).reshape(tile)
+            acts_ref[t * m1 + i] = a
+            acts.append(a)
+        inv, bkl, RH, r_req, profit = _im_step_math(
+            params, t, inv, bkl, RH, acts, dems[0])
+        if lt:
+            AH = r_req + AH[: (lt - 1) * m1]
+        rew_ref[t] = (params.alpha ** t) * profit
+    for i in range(m1):  # final snapshot: the bootstrap obs's on-hand
+        inv_ref[num_steps * m1 + i] = inv[i]
+
+
+def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
+                    batch: int, block: int = 1024, interpret: bool = False,
+                    precision=None):
+    """One full stochastic-policy episode per lane with the training
+    streams written to HBM (see the section comment above).
+
+    ``actor`` is ``(Ws, bs)`` from ``fold_actor_params`` (obs normalization
+    pre-folded); ``log_std`` the trained per-action-dim parameter. Matmuls
+    default to HIGHEST precision (self-consistency of the XLA-recomputed
+    logp with the in-kernel sampling mean). Returns a dict:
+    ``inv (T+1, m1, batch) i32``, ``actions (T, m1, batch) i32``,
+    ``raw (T, m1, batch) f32``, ``reward (T, batch) f32``.
+    Pinned on hardware by tests/test_kernel_rollout.py: the dumped
+    action/demand-free streams replay bit-exactly through the XLA
+    step_with_demand chain (demand recovered from the env identity)."""
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    sub = block // 128
+    T = params.periods
+    m1 = params.m1
+    Ws, bs = actor
+    spec = _im_demand_spec(params)
+    kernel = partial(_im_traj_kernel, params, T, spec, "tanh", precision,
+                     len(Ws))
+
+    def tspec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_rows = [(T + 1) * m1, T * m1, T * m1, T]
+    out_dt = [jnp.int32, jnp.int32, jnp.float32, jnp.float32]
+    Ws2 = [w.T for w in Ws]
+    bs2 = [b.reshape(-1, 1) for b in bs]
+    std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                           -10.0, 2.0)).reshape(-1, 1)
+    inv, acts, raw, rew = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2] + [wspec(std)],
+        out_specs=[tspec(r) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct((r, batch // 128, 128), dt)
+                   for r, dt in zip(out_rows, out_dt)],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2, std)
+    return dict(inv=inv.reshape(T + 1, m1, batch),
+                actions=acts.reshape(T, m1, batch),
+                raw=raw.reshape(T, m1, batch),
+                reward=rew.reshape(T, batch))
+
+
+def sample_normals_debug(seed, rows: int, batch: int, block: int = 1024,
+                         interpret: bool = False):
+    """(rows, batch) float32 of in-kernel Box-Muller standard normals —
+    the exact `_normal01` stream the stochastic policy/trajectory kernels
+    consume, dumped for goodness-of-fit pinning (one (rows, sub, 128) draw
+    per tile: two uniforms per normal, u1 then u2)."""
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+
+    def kern(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        out_ref[...] = _normal01(out_ref.shape)
+
+    out = pl.pallas_call(
+        kern, grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, batch // 128, 128),
+                                       jnp.float32),
+        interpret=interpret)(jnp.asarray(seed, jnp.int32).reshape(1))
+    return out.reshape(rows, batch)
 
 
 def sample_streams_debug_im(params: InvManagementParams, seed, batch: int,

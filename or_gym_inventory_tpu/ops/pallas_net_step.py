@@ -496,17 +496,21 @@ def _net_obs_rows(T, X, U, RH):
 def _episode_kernel_body_policy(
         T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha, act_hi,
         link_specs, act_name, precision, n_layers, n_episodes, dump_streams,
-        *refs):
-    """Whole episode under a fused deterministic MLP policy (same design as
+        stochastic, *refs):
+    """Whole episode under a fused MLP policy (deterministic, or with
+    in-kernel Gaussian exploration when ``stochastic``; same design as
     ops/pallas_episode_kernels.episode_returns_im_policy — obs assembled in
     VMEM from live state, trunk as MXU matmuls, tanh-squash to the action
     box [0, act_hi], demand from the compile-time link tables)."""
-    from or_gym_inventory_tpu.ops.pallas_episode_kernels import mlp_forward
+    from or_gym_inventory_tpu.ops.pallas_episode_kernels import (_normal01,
+                                                                 mlp_forward)
     seed_ref = refs[0]
     Ws_refs = refs[1:1 + n_layers]
     bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
-    X_ref, Y_ref, U_ref, RH_ref = refs[1 + 2 * n_layers:5 + 2 * n_layers]
-    outs = refs[5 + 2 * n_layers:]
+    off = 2 + 2 * n_layers if stochastic else 1 + 2 * n_layers
+    std_ref = refs[off - 1] if stochastic else None
+    X_ref, Y_ref, U_ref, RH_ref = refs[off:off + 4]
+    outs = refs[off + 4:]
     if dump_streams:
         rew_ref, acts_ref, dems_ref = outs
     else:
@@ -526,6 +530,8 @@ def _episode_kernel_body_policy(
         for e in range(E):
             H = mlp_forward(Ws_refs, bs_refs, act_name, precision,
                             _net_obs_rows(T, X[e], U[e], RH[e]))
+            if std_ref is not None:
+                H = H + std_ref[...] * _normal01(H.shape)
             # squash to [0, act_hi] (low = 0, scalar high for every link —
             # network env action box, net_inv_management.action_space)
             S = (jnp.tanh(H) + 1.0) * (0.5 * act_hi)
@@ -546,7 +552,7 @@ def _episode_kernel_body_policy(
 
 
 def _net_policy_call(params, actor, seed, batch, block, episodes_per_lane,
-                     dump_streams, interpret, precision):
+                     dump_streams, interpret, precision, log_std=None):
     T = params.topology
     n_main, n_ro, n_rt = T.n_main, T.n_reorder, T.n_retail
     lt = max(T.lt_max, 1)
@@ -559,7 +565,8 @@ def _net_policy_call(params, actor, seed, batch, block, episodes_per_lane,
     Ws, bs = actor
     kernel = partial(_episode_kernel_body_policy, T, params.backlog, n_main,
                      n_ro, n_rt, lt, num_steps, params.alpha, act_hi,
-                     link_specs, "tanh", precision, len(Ws), E, dump_streams)
+                     link_specs, "tanh", precision, len(Ws), E, dump_streams,
+                     log_std is not None)
 
     X, Y, U, RH = init_transposed(params, batch)
     shape3 = lambda rows: (rows, batch // 128, 128)
@@ -582,16 +589,21 @@ def _net_policy_call(params, actor, seed, batch, block, episodes_per_lane,
         out_specs, out_shape = out_specs[0], out_shape[0]
     Ws2 = [w.T for w in Ws]                # kernel wants (out, in)
     bs2 = [b.reshape(-1, 1) for b in bs]   # (out, 1): lane-broadcastable
+    extra = []
+    if log_std is not None:                # gaussian_sample's clipped std
+        extra.append(jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                                      -10.0, 2.0)).reshape(-1, 1))
     return pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2]
+        + [wspec(a) for a in extra]
         + [spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro)],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2, *extra,
       X.reshape(shape3(n_main)), Y.reshape(shape3(n_ro)),
       U.reshape(shape3(n_rt)), RH.reshape(shape3(lt * n_ro)))
 
@@ -599,15 +611,18 @@ def _net_policy_call(params, actor, seed, batch, block, episodes_per_lane,
 def episode_returns_net_policy(params: NetInvParams, actor, seed,
                                batch: int, block: int = 1024,
                                interpret: bool = False,
-                               episodes_per_lane: int = 1, precision=None):
-    """Deterministic learned-policy episode returns for the network env,
-    policy fused in-kernel (see episode_returns_im_policy — same recipe;
-    ``actor`` from ops.pallas_episode_kernels.fold_actor_params). Demand
-    from the compile-time link tables (hostfn raises). Returns (batch,)
-    for episodes_per_lane=1, else (episodes_per_lane, batch)."""
+                               episodes_per_lane: int = 1, precision=None,
+                               log_std=None):
+    """Learned-policy episode returns for the network env, policy fused
+    in-kernel (see episode_returns_im_policy — same recipe; ``actor`` from
+    ops.pallas_episode_kernels.fold_actor_params). Demand from the
+    compile-time link tables (hostfn raises). Deterministic by default;
+    pass the trained ``log_std`` for stochastic evaluation (in-kernel
+    Box-Muller exploration noise). Returns (batch,) for
+    episodes_per_lane=1, else (episodes_per_lane, batch)."""
     E = episodes_per_lane
     out = _net_policy_call(params, actor, seed, batch, block, E, False,
-                           interpret, precision)
+                           interpret, precision, log_std)
     return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
@@ -615,14 +630,15 @@ def sample_policy_streams_debug_net(params: NetInvParams, actor, seed,
                                     batch: int, block: int = 1024,
                                     interpret: bool = False,
                                     episodes_per_lane: int = 1,
-                                    precision=None):
+                                    precision=None, log_std=None):
     """(returns, actions (T, E, n_ro, batch) f32, demands (T, E, n_rt,
     batch) f32) — the exact streams the policy kernel produced/consumed
-    (identical PRNG consumption: demand only)."""
+    (identical PRNG consumption: demand, plus the per-period noise draws
+    when ``log_std`` is given)."""
     T_, E = params.num_periods, episodes_per_lane
     n_ro, n_rt = params.topology.n_reorder, params.topology.n_retail
     rew, acts, dems = _net_policy_call(params, actor, seed, batch, block, E,
-                                       True, interpret, precision)
+                                       True, interpret, precision, log_std)
     rew = rew.reshape(batch) if E == 1 else rew.reshape(E, batch)
     return (rew, acts.reshape(T_, E, n_ro, batch),
             dems.reshape(T_, E, n_rt, batch))

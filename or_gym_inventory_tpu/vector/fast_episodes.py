@@ -125,8 +125,9 @@ def random_episode_returns(params, key: jax.Array, batch: int,
 
 def policy_episode_returns(params, actor, key: jax.Array, batch: int,
                            block: int = 1024, use_pallas: bool = True,
-                           episodes_per_lane: int = 1):
-    """Per-episode returns under a DETERMINISTIC learned MLP policy.
+                           episodes_per_lane: int = 1,
+                           deterministic: bool = True, log_std=None):
+    """Per-episode returns under a learned MLP policy.
 
     ``actor`` is ``(Ws, bs)`` from ``ops.pallas_episode_kernels.
     fold_actor_params`` (pi trunk + mean head as plain f32 arrays, obs
@@ -137,10 +138,23 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
     for hostfn demand links); other backends run the same policy through
     the XLA vmap rollout. Episode ordering caveats are as in
     :func:`random_episode_returns`.
+
+    ``deterministic=False`` evaluates the STOCHASTIC policy — actions are
+    tanh-squashed Gaussian samples around the actor mean, SB3
+    ``predict(deterministic=False)`` semantics
+    (benchmark_InvManagementBacklogEnv.py:332-342). Requires ``log_std``
+    (the trained per-action-dim parameter, e.g.
+    ``train_state.params["params"]["log_std"]``); on TPU the noise comes
+    from the in-kernel Box-Muller sampler, on the fallback from
+    ``networks.gaussian_sample`` — same distribution, different streams.
     """
     E = int(episodes_per_lane)
     if E < 1:
         raise ValueError(f"episodes_per_lane must be >= 1, got {E}")
+    if not deterministic and log_std is None:
+        raise ValueError("deterministic=False requires log_std (the "
+                         "trained per-action-dim log-std parameter)")
+    kern_log_std = None if deterministic else log_std
     env = (nv.ENV if isinstance(params, nv.NewsvendorParams)
            else im.ENV if isinstance(params, im.InvManagementParams)
            else net.ENV if isinstance(params, net.NetInvParams) else None)
@@ -150,6 +164,7 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
     def xla():
         import numpy as np
 
+        from or_gym_inventory_tpu.agents import networks
         from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
             apply_folded_actor
         space = env.action_space(params)
@@ -157,9 +172,21 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
         high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
                            jnp.float32)
         int_actions = np.issubdtype(space.dtype, np.integer)
+        std = None if deterministic else jnp.exp(
+            jnp.clip(jnp.asarray(log_std, jnp.float32), -10.0, 2.0))
 
-        def policy(_s, obs, _k, _t):
-            return apply_folded_actor(actor, obs, low, high, int_actions)
+        def policy(_s, obs, k, _t):
+            if deterministic:
+                return apply_folded_actor(actor, obs, low, high, int_actions)
+            Ws, bs = actor
+            H = obs.astype(jnp.float32)
+            for i, (W, b) in enumerate(zip(Ws, bs)):
+                H = H @ W + b
+                if i < len(Ws) - 1:
+                    H = jnp.tanh(H)
+            raw = H + std * jax.random.normal(k, H.shape)
+            a = networks.squash_action(raw, low, high)
+            return a.astype(jnp.int32) if int_actions else a
 
         _, traj = vecenv.rollout(env, params, policy, None, key, E * batch,
                                  env.horizon(params))
@@ -174,28 +201,24 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
     if use_pallas and jax.default_backend() == "tpu":
         if isinstance(params, im.InvManagementParams):
             from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
-                episode_returns_im_policy
-            seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            return episode_returns_im_policy(params, actor, seed, batch,
-                                             block=max(block, 1024),
-                                             episodes_per_lane=E).reshape(-1)
-        if isinstance(params, nv.NewsvendorParams):
+                episode_returns_im_policy as kern
+        elif isinstance(params, nv.NewsvendorParams):
             from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
-                episode_returns_nv_policy
-            seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            return episode_returns_nv_policy(params, actor, seed, batch,
-                                             block=max(block, 1024),
-                                             episodes_per_lane=E).reshape(-1)
-        if isinstance(params, net.NetInvParams):
+                episode_returns_nv_policy as kern
+        else:
             from or_gym_inventory_tpu.ops.pallas_net_step import \
-                episode_returns_net_policy
-            seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            try:
-                return episode_returns_net_policy(
-                    params, actor, seed, batch, block=max(block, 1024),
-                    episodes_per_lane=E).reshape(-1)
-            except NotImplementedError as e:  # e.g. hostfn demand link
-                warnings.warn(f"policy kernel unavailable ({e}); falling "
-                              "back to the XLA rollout", RuntimeWarning)
+                episode_returns_net_policy as kern
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        try:
+            # every family takes the same loud fallback on expected kernel
+            # unavailability (e.g. hostfn demand links or a demand support
+            # beyond the inversion-table cap); any other exception is a
+            # genuine kernel bug and propagates
+            return kern(params, actor, seed, batch, block=max(block, 1024),
+                        episodes_per_lane=E,
+                        log_std=kern_log_std).reshape(-1)
+        except NotImplementedError as e:
+            warnings.warn(f"policy kernel unavailable ({e}); falling "
+                          "back to the XLA rollout", RuntimeWarning)
     return xla()
 

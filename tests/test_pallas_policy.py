@@ -229,6 +229,112 @@ def test_nv_policy_kernel_pinned():
     assert a.std() > 0
 
 
+def test_stochastic_eval_requires_log_std():
+    from or_gym_inventory_tpu.vector import fast_episodes
+    params = im.default_params(periods=4)
+    cfg = ppo.PPOConfig(pi_arch=(32,))
+    mp, rms = _make_actor(params, cfg)
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    with pytest.raises(ValueError, match="log_std"):
+        fast_episodes.policy_episode_returns(
+            params, actor, jax.random.PRNGKey(0), 64, deterministic=False)
+
+
+def test_xla_stochastic_fallback_samples():
+    """The non-TPU stochastic path: tanh-squashed Gaussian actions around
+    the folded-actor mean (networks.gaussian_sample semantics) — finite
+    returns, key-dependent, distinct from the deterministic policy."""
+    from or_gym_inventory_tpu.vector import fast_episodes
+    params = im.default_params(periods=6)
+    cfg = ppo.PPOConfig(pi_arch=(32,))
+    mp, rms = _make_actor(params, cfg)
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    log_std = mp["params"]["log_std"]
+    r_det = np.asarray(fast_episodes.policy_episode_returns(
+        params, actor, jax.random.PRNGKey(1), 64, use_pallas=False))
+    r_sto = np.asarray(fast_episodes.policy_episode_returns(
+        params, actor, jax.random.PRNGKey(1), 64, use_pallas=False,
+        deterministic=False, log_std=log_std))
+    r_sto2 = np.asarray(fast_episodes.policy_episode_returns(
+        params, actor, jax.random.PRNGKey(2), 64, use_pallas=False,
+        deterministic=False, log_std=log_std))
+    assert np.isfinite(r_sto).all() and np.isfinite(r_sto2).all()
+    assert np.abs(r_sto - r_det).max() > 0       # noise actually applied
+    assert np.abs(r_sto - r_sto2).max() > 0      # key-dependent
+    # two independent noise keys draw from the same return distribution
+    se = (r_sto.std() ** 2 / 64 + r_sto2.std() ** 2 / 64) ** 0.5
+    assert abs(r_sto.mean() - r_sto2.mean()) < 8 * se
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_in_kernel_normals_gof():
+    """Goodness-of-fit of the in-kernel Box-Muller sampler: 1M dumped
+    normals match N(0,1) in moments and KS distance, with the documented
+    sqrt(48 ln 2) tail cap from the 24-bit uniform."""
+    import math
+    z = np.asarray(pek.sample_normals_debug(jnp.asarray(3, jnp.int32),
+                                            rows=64, batch=16384)).ravel()
+    n = z.size
+    assert n == 64 * 16384
+    assert abs(z.mean()) < 5.0 / math.sqrt(n)
+    assert abs(z.std() - 1.0) < 0.005
+    assert abs(((z - z.mean()) ** 3).mean()) < 0.02          # skew
+    assert abs(((z - z.mean()) ** 4).mean() - 3.0) < 0.06    # kurtosis
+    assert np.abs(z).max() <= math.sqrt(48 * math.log(2)) + 1e-3
+    # one-sample KS against Phi (via erf); critical value at n=1M is
+    # ~0.0014 (5%) — allow 4x for the 24-bit discretization
+    zs = np.sort(z)
+    cdf = 0.5 * (1.0 + np.vectorize(math.erf)(zs / math.sqrt(2.0)))
+    emp_hi = np.arange(1, n + 1) / n
+    emp_lo = np.arange(0, n) / n
+    ks = max(np.abs(emp_hi - cdf).max(), np.abs(emp_lo - cdf).max())
+    assert ks < 0.006, ks
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_im_stochastic_policy_kernel_pinned():
+    """Stochastic policy-in-kernel eval: dump == plain for the same seed;
+    the dumped (noisy) action/demand streams reproduce the returns through
+    the pre-materialized kernel; the sampled-return distribution matches
+    the XLA stochastic rollout (same folded actor + log_std, independent
+    noise streams)."""
+    params = im.default_params(periods=12)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    mp, rms = _make_actor(params, cfg)
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    log_std = jnp.full((params.m1,), -0.7, jnp.float32)
+    seed = jnp.asarray(61, jnp.int32)
+    B = 4096
+
+    rew_d, acts, dems = pek.sample_policy_streams_debug_im(
+        params, actor, seed, B, block=1024, log_std=log_std)
+    fused = np.asarray(pek.episode_returns_im_policy(
+        params, actor, seed, B, block=1024, log_std=log_std))
+    np.testing.assert_allclose(np.asarray(rew_d), fused, rtol=1e-6,
+                               atol=1e-4)
+    pre = np.asarray(pek.episode_returns_im(params, acts[:, 0], dems[:, 0],
+                                            block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+
+    det = np.asarray(pek.episode_returns_im_policy(params, actor, seed, B,
+                                                   block=1024))
+    assert np.abs(det - fused).max() > 0  # the noise is actually applied
+
+    # distributional match vs the XLA stochastic rollout
+    from or_gym_inventory_tpu.vector import fast_episodes
+    xla = np.asarray(fast_episodes.policy_episode_returns(
+        params, actor, jax.random.PRNGKey(5), B, use_pallas=False,
+        deterministic=False, log_std=log_std))
+    se = (fused.std() ** 2 / B + xla.std() ** 2 / B) ** 0.5
+    assert abs(fused.mean() - xla.mean()) < 6 * se, (
+        fused.mean(), xla.mean(), se)
+    assert 0.8 < fused.std() / xla.std() < 1.25
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
