@@ -39,6 +39,13 @@ from or_gym_inventory_tpu.envs.base import Environment
 from or_gym_inventory_tpu.vector import vecenv
 
 
+# The measured crossover for the minibatch recipe (PERFORMANCE.md round-4
+# scaling table): below this env count the per-epoch permutation gather is
+# cheap and the classic recipe is kept; at/above it env-sliced minibatches
+# are 3.8x faster with validated reward parity (tools/validate_noshuffle.py).
+NOSHUFFLE_ENVS_THRESHOLD = 16384
+
+
 @struct.dataclass
 class PPOConfig:
     num_envs: int = struct.field(pytree_node=False, default=1024)
@@ -71,7 +78,24 @@ class PPOConfig:
     # with a single transpose and re-read by every epoch. Envs are i.i.d.,
     # so env-sliced minibatches are unbiased; with >=1e5-sample minibatches
     # the shuffle's variance contribution is negligible anyway.
-    shuffle_minibatches: bool = struct.field(pytree_node=False, default=True)
+    # None (the default) resolves automatically: the classic shuffled
+    # recipe below NOSHUFFLE_ENVS_THRESHOLD envs, env-sliced above it —
+    # where the measured 3.8x throughput win holds and reward parity was
+    # validated at the IM-backlog protocol (tools/validate_noshuffle.py,
+    # RESULTS.md). See resolved_shuffle().
+    shuffle_minibatches: Optional[bool] = struct.field(pytree_node=False,
+                                                       default=None)
+    # Experience-generation backend. "xla": the fused policy+env lax.scan
+    # rollout (works everywhere; measured ceiling ~10-20M env-steps/s,
+    # PERFORMANCE.md). "kernel": the trajectory-emitting Pallas rollout —
+    # one full stochastic-policy episode per lane per update with the MLP
+    # actor fused in-kernel and the training streams written to HBM
+    # (ops/pallas_episode_kernels.rollout_traj_im). TPU-only; requires the
+    # InvManagement family, rollout_steps == periods (episode-aligned
+    # updates) and num_envs a multiple of 1024. The learned-policy analogue
+    # of the evaluation engine's fused kernels: experience generation stops
+    # being the learner's bottleneck (PERFORMANCE.md round 5).
+    rollout: str = struct.field(pytree_node=False, default="xla")
     # Runs that many updates per device call (lax.scan over the update),
     # amortizing the per-call dispatch floor — decisive for SB3-shaped
     # configs (tiny batch, tens of thousands of updates) and for this
@@ -84,6 +108,17 @@ class PPOConfig:
 
     def num_updates(self, total_timesteps: int) -> int:
         return max(1, total_timesteps // (self.num_envs * self.rollout_steps))
+
+    def resolved_shuffle(self, n_envs: int) -> bool:
+        """The effective minibatch recipe for a batch of ``n_envs``.
+        ``shuffle_minibatches=None`` (auto) picks the classic shuffled
+        recipe below ``NOSHUFFLE_ENVS_THRESHOLD`` envs and env-sliced
+        minibatches at TPU-native batch (also shuffled when the env count
+        doesn't divide into minibatches — env slicing needs it)."""
+        if self.shuffle_minibatches is None:
+            return (n_envs < NOSHUFFLE_ENVS_THRESHOLD
+                    or n_envs % self.num_minibatches != 0)
+        return self.shuffle_minibatches
 
 
 @struct.dataclass
@@ -198,6 +233,207 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         a = networks.squash_action(raw, low, high)
         return a.astype(jnp.int32) if int_actions else a
 
+    if cfg.rollout not in ("xla", "kernel"):
+        raise ValueError(f"rollout must be 'xla' or 'kernel', got "
+                         f"{cfg.rollout!r}")
+    if cfg.rollout == "kernel":
+        from or_gym_inventory_tpu.envs import inv_management as im_env
+        if not isinstance(env_params, im_env.InvManagementParams):
+            raise NotImplementedError(
+                "rollout='kernel' currently supports the InvManagement "
+                f"family only (got {type(env_params).__name__})")
+        if cfg.rollout_steps != env_params.periods:
+            raise ValueError(
+                "rollout='kernel' runs episode-aligned updates: "
+                f"rollout_steps ({cfg.rollout_steps}) must equal the env "
+                f"horizon ({env_params.periods})")
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                "rollout='kernel' needs the TPU backend (Pallas episode "
+                "kernels); use rollout='xla' elsewhere")
+
+    # ------------------------------------------------- shared GAE phase
+    def gae_advantages(reward, done, values, next_values):
+        """delta bootstraps through ``next_values`` (V(final_obs) at
+        truncation boundaries — SB3's truncation handling); ``done`` stops
+        advantage propagation across episode boundaries."""
+        def gae_step(next_adv, inp):
+            reward, done, value, next_value = inp
+            nd = 1.0 - done.astype(jnp.float32)
+            delta = reward + cfg.gamma * next_value - value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nd * next_adv
+            return adv, adv
+
+        _, advs = jax.lax.scan(
+            gae_step, jnp.zeros_like(values[0]),
+            (reward, done, values, next_values), reverse=True)
+        return advs
+
+    # ------------------------------------------------- shared SGD phase
+    def sgd_phase(state, batch, n_envs, key):
+        """Epochs of minibatched clipped-surrogate SGD over a time-major
+        batch dict (T, n_envs, ...) with keys obs/raw/logp/value/adv/ret.
+        Returns (params, opt_state, aux, flat)."""
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), batch)
+        T_steps = batch["obs"].shape[0]
+        batch_size = T_steps * n_envs
+        mb_size = batch_size // cfg.num_minibatches
+
+        def loss_fn(params, mb):
+            norm_obs = state.rms.normalize(mb["obs"]) if cfg.normalize_obs \
+                else mb["obs"].astype(jnp.float32)
+            mean, log_std, value = model.apply(params, norm_obs)
+            logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
+            ratio = jnp.exp(logp - mb["logp"])
+            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
+            pg1 = ratio * adv
+            pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+            pg_loss = -jnp.minimum(pg1, pg2).mean()
+            v_clip = mb["value"] + jnp.clip(value - mb["value"],
+                                            -cfg.clip_eps, cfg.clip_eps)
+            v_loss = 0.5 * jnp.maximum((value - mb["ret"]) ** 2,
+                                       (v_clip - mb["ret"]) ** 2).mean()
+            ent = networks.entropy_bonus(log_std).mean()
+            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            return total, (pg_loss, v_loss, ent)
+
+        def minibatch(carry, mb):
+            params, opt_state = carry
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        # num_minibatches == 1: the "minibatch" is the whole batch and the
+        # mean gradient is permutation-invariant — the shuffle buys nothing
+        # but a full-batch HBM gather (measured ~1.5x the A2C update at 65k+
+        # envs), so it is always skipped.
+        shuffle = cfg.resolved_shuffle(n_envs)
+        if cfg.num_minibatches > 1 and cfg.shuffle_minibatches is False \
+                and n_envs % cfg.num_minibatches:
+            # an EXPLICIT False with a non-divisible env count silently
+            # keeps the shuffled path; say so rather than silently charging
+            # the shuffle's HBM cost (auto mode resolves this itself)
+            import warnings
+            warnings.warn(
+                f"shuffle_minibatches=False needs num_envs ({n_envs}) "
+                f"divisible by num_minibatches ({cfg.num_minibatches}); "
+                "using the shuffled path", RuntimeWarning)
+        if cfg.num_minibatches > 1 and (
+                shuffle or n_envs % cfg.num_minibatches):
+            def epoch(carry, ekey):
+                params, opt_state = carry
+                perm = jax.random.permutation(ekey, batch_size)
+                shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
+                mbs = jax.tree_util.tree_map(
+                    lambda x: x[: mb_size * cfg.num_minibatches].reshape(
+                        (cfg.num_minibatches, mb_size) + x.shape[1:]),
+                    shuffled)
+                (params, opt_state), aux = jax.lax.scan(
+                    minibatch, (params, opt_state), mbs)
+                return (params, opt_state), aux
+        else:
+            # env-sliced minibatches, built ONCE per update (epoch-invariant
+            # — no per-epoch permutation gather; see shuffle_minibatches)
+            w = n_envs // cfg.num_minibatches
+            mbs_fixed = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (T_steps, cfg.num_minibatches, w)
+                    + x.shape[2:]).swapaxes(0, 1).reshape(
+                    (cfg.num_minibatches, T_steps * w)
+                    + x.shape[2:]), batch)
+
+            def epoch(carry, _ekey):
+                (params, opt_state) = carry
+                (params, opt_state), aux = jax.lax.scan(
+                    minibatch, (params, opt_state), mbs_fixed)
+                return (params, opt_state), aux
+
+        epoch_keys = jax.random.split(key, cfg.update_epochs)
+        (params, opt_state), aux = jax.lax.scan(
+            epoch, (state.params, state.opt_state), epoch_keys)
+        return params, opt_state, aux, flat
+
+    # ------------------------- kernel-rollout update (TPU, IM family)
+    def update_kernel(state: PPOTrainState, key: jax.Array):
+        """One episode-aligned PPO update off the trajectory-emitting
+        Pallas rollout: the stochastic MLP actor runs IN-KERNEL (obs
+        normalization folded into the first layer, exploration noise from
+        the hardware PRNG), the dumped streams reconstruct the obs batch
+        with zero per-step round-trips, and logp/values are recomputed in
+        one batched forward (self-consistent across epochs)."""
+        from or_gym_inventory_tpu.envs import inv_management as im_env
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
+            fold_actor_params, rollout_traj_im)
+        n_envs = state.last_obs.shape[0]
+        T = cfg.rollout_steps
+
+        seed_key, key = jax.random.split(key)
+        seed = jax.random.randint(seed_key, (), 0, 2 ** 31 - 1)
+        actor = fold_actor_params(
+            cfg, state.params, state.rms if cfg.normalize_obs else None)
+        log_std = state.params["params"]["log_std"]
+        tr = rollout_traj_im(env_params, actor, log_std, seed, n_envs)
+        obs_all = im_env.assemble_obs_from_streams(
+            env_params, tr["inv"], tr["actions"])        # (T+1, B, D) i32
+        raw = tr["raw"].transpose(0, 2, 1)               # (T, B, m1)
+        reward_raw = tr["reward"]                        # (T, B)
+
+        # running discounted return (reward-normalization statistics);
+        # episodes start fresh each update, so the accumulator starts at 0
+        def acc_step(acc, r):
+            acc = acc * cfg.gamma + r
+            return acc, acc
+
+        _, ret_accs = jax.lax.scan(
+            acc_step, jnp.zeros((n_envs,), jnp.float32), reward_raw)
+        if cfg.normalize_reward:
+            ret_rms = state.ret_rms.update(ret_accs.reshape(-1, 1),
+                                           axis_name)
+            scale = jax.lax.rsqrt(ret_rms.var[0] + 1e-8)
+            reward = jnp.clip(reward_raw * scale, -10.0, 10.0)
+        else:
+            ret_rms = state.ret_rms
+            reward = reward_raw
+
+        norm = state.rms.normalize if cfg.normalize_obs else \
+            (lambda x: x.astype(jnp.float32))
+        D = obs_all.shape[-1]
+        mean_all, _, value_all = model.apply(
+            state.params, norm(obs_all.reshape(-1, D)))
+        mean_all = mean_all.reshape(T + 1, n_envs, -1)
+        value_all = value_all.reshape(T + 1, n_envs)
+        logp = networks.gaussian_log_prob(raw, mean_all[:T], log_std)
+        values = value_all[:T]
+        bootstrap = value_all[T]                         # V(final obs)
+        next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
+        done = jnp.zeros((T, n_envs), bool).at[T - 1].set(True)
+        advs = gae_advantages(reward, done, values, next_values)
+
+        batch = dict(obs=obs_all[:T], raw=raw, logp=logp, value=values,
+                     adv=advs, ret=advs + values)
+        params, opt_state, aux, flat = sgd_phase(state, batch, n_envs, key)
+
+        rms = state.rms.update(flat["obs"], axis_name) if cfg.normalize_obs \
+            else state.rms
+        mean_step_reward = jnp.mean(reward_raw)
+        if axis_name is not None:
+            mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)
+        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+        metrics = dict(
+            mean_step_reward=mean_step_reward,
+            episodes=jnp.asarray(n_envs, jnp.int32),
+            pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
+        new_state = PPOTrainState(
+            params=params, opt_state=opt_state, rms=rms, ret_rms=ret_rms,
+            ret_accum=jnp.zeros_like(state.ret_accum),
+            env_state=state.env_state, last_obs=state.last_obs,
+            update_idx=state.update_idx + 1)
+        return new_state, metrics
+
     def update(state: PPOTrainState, key: jax.Array):
         n_envs = state.last_obs.shape[0]
 
@@ -244,112 +480,21 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             (lambda x: x.astype(jnp.float32))
         _, _, bootstrap = model.apply(state.params, norm(tr["final_obs"][-1]))
 
-        def gae_step(carry, inp):
-            next_adv, next_value = carry
-            reward, done, value = inp
-            nd = 1.0 - done.astype(jnp.float32)
-            # fixed-horizon truncation: bootstrap through V(final_obs), but
-            # stop advantage propagation across episode boundaries
-            delta = reward + cfg.gamma * next_value - value
-            adv = delta + cfg.gamma * cfg.gae_lambda * nd * next_adv
-            return (adv, value), adv
-
-        # per-step bootstrap value: V(next_obs); at done use V(final obs)
+        # per-step bootstrap value: V(next_obs); where an episode ended
+        # mid-rollout, the next value must come from the PRE-RESET final
+        # obs of that step (fixed-horizon truncation semantics)
         values = tr["value"]
         next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
-        # where an episode ended mid-rollout, next_value must come from the
-        # pre-reset final obs of that step
         _, _, v_final = model.apply(state.params, norm(
             tr["final_obs"].reshape(-1, tr["final_obs"].shape[-1])))
         v_final = v_final.reshape(values.shape)
         next_values = jnp.where(tr["done"], v_final, next_values)
-
-        (_, _), advs = jax.lax.scan(
-            gae_step, (jnp.zeros_like(bootstrap), bootstrap),
-            (tr["reward"], tr["done"], values), reverse=True)
-        returns = advs + values
+        advs = gae_advantages(tr["reward"], tr["done"], values, next_values)
 
         # --------------------------- SGD epochs ---------------------------
         batch = dict(obs=tr["obs"], raw=tr["raw"], logp=tr["logp"],
-                     value=values, adv=advs, ret=returns)
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), batch)
-        batch_size = cfg.rollout_steps * n_envs
-        mb_size = batch_size // cfg.num_minibatches
-
-        def loss_fn(params, mb):
-            norm_obs = state.rms.normalize(mb["obs"]) if cfg.normalize_obs \
-                else mb["obs"].astype(jnp.float32)
-            mean, log_std, value = model.apply(params, norm_obs)
-            logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
-            ratio = jnp.exp(logp - mb["logp"])
-            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
-            pg1 = ratio * adv
-            pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
-            pg_loss = -jnp.minimum(pg1, pg2).mean()
-            v_clip = mb["value"] + jnp.clip(value - mb["value"],
-                                            -cfg.clip_eps, cfg.clip_eps)
-            v_loss = 0.5 * jnp.maximum((value - mb["ret"]) ** 2,
-                                       (v_clip - mb["ret"]) ** 2).mean()
-            ent = networks.entropy_bonus(log_std).mean()
-            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
-            return total, (pg_loss, v_loss, ent)
-
-        def minibatch(carry, mb):
-            params, opt_state = carry
-            grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
-            if axis_name is not None:
-                grads = jax.lax.pmean(grads, axis_name)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), aux
-
-        # num_minibatches == 1: the "minibatch" is the whole batch and the
-        # mean gradient is permutation-invariant — the shuffle buys nothing
-        # but a full-batch HBM gather (measured ~1.5x the A2C update at 65k+
-        # envs), so it is always skipped.
-        if cfg.num_minibatches > 1 and not cfg.shuffle_minibatches and \
-                n_envs % cfg.num_minibatches:
-            # env-sliced minibatches need num_envs % num_minibatches == 0;
-            # say so rather than silently charging the shuffle's HBM cost
-            import warnings
-            warnings.warn(
-                f"shuffle_minibatches=False needs num_envs ({n_envs}) "
-                f"divisible by num_minibatches ({cfg.num_minibatches}); "
-                "using the shuffled path", RuntimeWarning)
-        if cfg.num_minibatches > 1 and (
-                cfg.shuffle_minibatches or n_envs % cfg.num_minibatches):
-            def epoch(carry, ekey):
-                params, opt_state = carry
-                perm = jax.random.permutation(ekey, batch_size)
-                shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
-                mbs = jax.tree_util.tree_map(
-                    lambda x: x[: mb_size * cfg.num_minibatches].reshape(
-                        (cfg.num_minibatches, mb_size) + x.shape[1:]),
-                    shuffled)
-                (params, opt_state), aux = jax.lax.scan(
-                    minibatch, (params, opt_state), mbs)
-                return (params, opt_state), aux
-        else:
-            # env-sliced minibatches, built ONCE per update (epoch-invariant
-            # — no per-epoch permutation gather; see shuffle_minibatches)
-            w = n_envs // cfg.num_minibatches
-            mbs_fixed = jax.tree_util.tree_map(
-                lambda x: x.reshape(
-                    (cfg.rollout_steps, cfg.num_minibatches, w)
-                    + x.shape[2:]).swapaxes(0, 1).reshape(
-                    (cfg.num_minibatches, cfg.rollout_steps * w)
-                    + x.shape[2:]), batch)
-
-            def epoch(carry, _ekey):
-                (params, opt_state) = carry
-                (params, opt_state), aux = jax.lax.scan(
-                    minibatch, (params, opt_state), mbs_fixed)
-                return (params, opt_state), aux
-
-        epoch_keys = jax.random.split(key, cfg.update_epochs)
-        (params, opt_state), aux = jax.lax.scan(
-            epoch, (state.params, state.opt_state), epoch_keys)
+                     value=values, adv=advs, ret=advs + values)
+        params, opt_state, aux, flat = sgd_phase(state, batch, n_envs, key)
 
         rms = state.rms.update(flat["obs"], axis_name) if cfg.normalize_obs \
             else state.rms
@@ -371,7 +516,7 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             update_idx=state.update_idx + 1)
         return new_state, metrics
 
-    return update
+    return update_kernel if cfg.rollout == "kernel" else update
 
 
 def train(env: Environment, env_params, cfg: PPOConfig, key: jax.Array,

@@ -433,7 +433,37 @@ class RecurrentPPOAgent(PPOAgent):
         return np.asarray(a).astype(space.dtype)
 
     def device_policy(self, env, params):
-        return None  # recurrent eval needs carry threading; host path only
+        return None  # stateless protocol can't thread the carry; see below
+
+    def device_policy_stateful(self, env, params):
+        """(carry0_fn, policy_fn) for the carry-threading vectorized
+        evaluator (vecenv.evaluate_episodes_seeded_stateful) — the device
+        path that lets ``fast=True`` cover recurrent agents instead of
+        silently falling back to host episodes."""
+        if self.train_state is None:
+            return None
+        env_params = self.env_params or params
+        model = _make_model(env, env_params, self.config)
+        space = env.action_space(env_params)
+        low = jnp.asarray(space.low, jnp.float32)
+        high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
+                           jnp.float32)
+        int_actions = np.issubdtype(space.dtype, np.integer)
+        st = self.train_state
+        normf = st.rms.normalize if self.config.normalize_obs else \
+            (lambda x: x.astype(jnp.float32))
+
+        def carry0_fn(num_envs):
+            return model.initial_carry(num_envs)
+
+        def policy_fn(carry, obs, _key, _t):
+            done = jnp.zeros((obs.shape[0],), bool)  # full-horizon episodes
+            carry, (mean, _, _) = model.apply(st.params, carry, normf(obs),
+                                              done)
+            a = networks.squash_action(mean, low, high)
+            return carry, (a.astype(jnp.int32) if int_actions else a)
+
+        return carry0_fn, policy_fn
 
 
 def A2CLSTMConfig(num_envs: int = 256, rollout_steps: int = 8, lr: float = 7e-4,

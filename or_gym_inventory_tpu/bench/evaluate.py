@@ -169,14 +169,23 @@ def evaluate_agent_vectorized(agent: BaseAgent, env: Environment, params,
     total — the warm-up run plus the timed run.
     """
     policy = agent.device_policy(env, params)
+    stateful = None
     if policy is None:
-        raise ValueError(f"{agent.name} has no device policy; "
-                         "use evaluate_agent instead")
-    policy_state = None
+        # recurrent agents expose the carry-threading protocol instead
+        sf = getattr(agent, "device_policy_stateful", None)
+        stateful = sf(env, params) if sf is not None else None
+        if stateful is None:
+            raise ValueError(f"{agent.name} has no device policy; "
+                             "use evaluate_agent instead")
     episode_seeds = seed + np.arange(n_episodes)
     seeds_dev = jax.numpy.asarray(episode_seeds)
-    run = jax.jit(lambda s: vecenv.evaluate_episodes_seeded(
-        env, params, policy, policy_state, s))
+    if stateful is not None:
+        carry0_fn, pol = stateful
+        run = jax.jit(lambda s: vecenv.evaluate_episodes_seeded_stateful(
+            env, params, carry0_fn, pol, s))
+    else:
+        run = jax.jit(lambda s: vecenv.evaluate_episodes_seeded(
+            env, params, policy, None, s))
     # Warm up (trace + compile) BEFORE the timed execution: on this
     # container's remote-compile TPU backend a cold first call can take
     # minutes, which must not be attributed to episode Time. The program is

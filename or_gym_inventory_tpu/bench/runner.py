@@ -75,8 +75,18 @@ def run_benchmark(env_name_short: str,
     print("\n--- Evaluation Phase ---")
     all_results = []
     for name, agent in agents:
-        if fast and params is not None and env is not None and \
-                agent.device_policy(env, params) is not None:
+        use_device = False
+        if fast and params is not None and env is not None:
+            use_device = agent.device_policy(env, params) is not None
+            if not use_device:
+                sf = getattr(agent, "device_policy_stateful", None)
+                use_device = sf is not None and sf(env, params) is not None
+            if not use_device:
+                # say so — a silent host fallback looks like the device
+                # path the caller asked for but runs orders slower
+                print(f"  [fast] {name}: no device policy "
+                      "(stateless or stateful); using the host episode path")
+        if use_device:
             res = evaluate_agent_vectorized(agent, env, params,
                                             n_eval_episodes, seed=seed_offset)
         else:

@@ -225,6 +225,39 @@ def _obs(params: InvManagementParams, state: InvManagementState) -> jax.Array:
     return jnp.concatenate([state.inv, chron.reshape(-1)])
 
 
+def assemble_obs_from_streams(params: InvManagementParams, inv, actions):
+    """Reconstruct the full observation stream from rollout streams —
+    the gather form of ``_obs`` over a whole episode, with zero per-step
+    device round-trips (this is how the trajectory-emitting Pallas rollout
+    feeds the PPO update, ops/pallas_episode_kernels.rollout_traj_im).
+
+    ``inv`` (T+1, m1, B) i32 start-of-period on-hand (final snapshot last);
+    ``actions`` (T, m1, B) i32 the per-period orders (clamped to the
+    REQUESTED values ``max(a, 0)`` here, matching the history the obs
+    encodes — inventory_management.py:268). Returns (T+1, B,
+    pipeline_length) i32 where row t == ``_obs`` of the period-t state:
+    on-hand first, then the last min(t, lt_max) requested actions
+    chronologically, zero-padded at the END when t < lt_max."""
+    import numpy as np
+    T1, m1, B = inv.shape
+    T = T1 - 1
+    lt = params.lt_max
+    if lt == 0:
+        return inv.transpose(0, 2, 1)
+    req = jnp.maximum(jnp.asarray(actions, jnp.int32), 0)
+    padded = jnp.concatenate(
+        [req, jnp.zeros((1, m1, B), jnp.int32)], axis=0)  # row T = zeros
+    # chron slot j of obs row t reads action t - w + j for w = min(t, lt)
+    # valid slots, else the zero row — a static gather table
+    idx = np.full((T1, lt), T, np.int32)
+    for t in range(T1):
+        w = min(t, lt)
+        idx[t, :w] = np.arange(t - w, t)
+    hist = padded[jnp.asarray(idx)]                       # (T+1, lt, m1, B)
+    obs = jnp.concatenate([inv, hist.reshape(T1, lt * m1, B)], axis=1)
+    return obs.transpose(0, 2, 1)
+
+
 def _info(params, state):
     return {
         "period": state.period,

@@ -1236,7 +1236,7 @@ def _im_traj_kernel(params: InvManagementParams, num_steps, spec, act_name,
     Ws_refs = refs[1:1 + n_layers]
     bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
     std_ref = refs[1 + 2 * n_layers]
-    inv_ref, acts_ref, raw_ref, rew_ref = refs[2 + 2 * n_layers:]
+    inv_ref, acts_ref, raw_ref, rew_ref, dems_ref = refs[2 + 2 * n_layers:]
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     m1, lt = params.m1, params.lt_max
     tile = rew_ref.shape[1:]
@@ -1247,8 +1247,9 @@ def _im_traj_kernel(params: InvManagementParams, num_steps, spec, act_name,
     AH = [zero for _ in range(lt * m1)]
     for t in range(num_steps):
         # PRNG order per period: demand draw, then one (m1, lanes) noise
-        # draw inside _policy_actions (two uniforms)
+        # draw (two uniforms)
         dems = _im_sample_demand(params, tile, t, spec, 1)
+        dems_ref[t] = dems[0]
         for i in range(m1):
             inv_ref[t * m1 + i] = inv[i]
         obs_rows = _im_obs_rows(params, t, inv, AH)
@@ -1282,10 +1283,11 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
     default to HIGHEST precision (self-consistency of the XLA-recomputed
     logp with the in-kernel sampling mean). Returns a dict:
     ``inv (T+1, m1, batch) i32``, ``actions (T, m1, batch) i32``,
-    ``raw (T, m1, batch) f32``, ``reward (T, batch) f32``.
+    ``raw (T, m1, batch) f32``, ``reward (T, batch) f32``,
+    ``demand (T, batch) i32``.
     Pinned on hardware by tests/test_kernel_rollout.py: the dumped
-    action/demand-free streams replay bit-exactly through the XLA
-    step_with_demand chain (demand recovered from the env identity)."""
+    action/demand streams replay through the XLA step_with_demand chain
+    (obs, rewards, final inventory — bit-exact int state)."""
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -1306,13 +1308,13 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
         return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    out_rows = [(T + 1) * m1, T * m1, T * m1, T]
-    out_dt = [jnp.int32, jnp.int32, jnp.float32, jnp.float32]
+    out_rows = [(T + 1) * m1, T * m1, T * m1, T, T]
+    out_dt = [jnp.int32, jnp.int32, jnp.float32, jnp.float32, jnp.int32]
     Ws2 = [w.T for w in Ws]
     bs2 = [b.reshape(-1, 1) for b in bs]
     std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
                            -10.0, 2.0)).reshape(-1, 1)
-    inv, acts, raw, rew = pl.pallas_call(
+    inv, acts, raw, rew, dems = pl.pallas_call(
         kernel,
         grid=(batch // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1325,7 +1327,8 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
     return dict(inv=inv.reshape(T + 1, m1, batch),
                 actions=acts.reshape(T, m1, batch),
                 raw=raw.reshape(T, m1, batch),
-                reward=rew.reshape(T, batch))
+                reward=rew.reshape(T, batch),
+                demand=dems.reshape(T, batch))
 
 
 def sample_normals_debug(seed, rows: int, batch: int, block: int = 1024,

@@ -139,6 +139,42 @@ def evaluate_episodes_seeded(env: Environment, params, policy_fn: Callable,
     return totals, traj
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def evaluate_episodes_seeded_stateful(env: Environment, params,
+                                      carry0_fn: Callable,
+                                      policy_fn: Callable,
+                                      seeds: jax.Array):
+    """``evaluate_episodes_seeded`` for STATEFUL policies (recurrent
+    actors): ``carry0_fn(num_envs)`` builds the initial policy carry and
+    ``policy_fn(carry, obs_batch, key, t) -> (carry, action_batch)``
+    threads it through the episode scan — the device path for PPO_LSTM /
+    A2C_LSTM (the reference's MlpLstmPolicy intent,
+    benchmark_InvManagementBacklogEnv.py:712-713). Seeding protocol and
+    return layout are identical to :func:`evaluate_episodes_seeded`."""
+    horizon = env.horizon(params)
+    num_envs = seeds.shape[0]
+    base = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    reset_keys = jax.vmap(jax.random.fold_in, (0, None))(base, 0)
+    state, ts0 = jax.vmap(env.reset, in_axes=(None, 0))(params, reset_keys)
+    carry0 = carry0_fn(num_envs)
+
+    def scan_step(scan_carry, t):
+        state, obs, carry = scan_carry
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(base, 1 + t)
+        act_key = jax.random.fold_in(base[0], 1 + horizon + t)
+        carry, action = policy_fn(carry, obs, act_key, t)
+        state, ts = jax.vmap(env.step, in_axes=(None, 0, 0, 0))(
+            params, state, action, step_keys)
+        traj = Trajectory(obs=obs, action=action, reward=ts.reward,
+                          done=ts.done, next_obs=ts.obs, info=ts.info)
+        return (state, ts.obs, carry), traj
+
+    (state, _, _), traj = jax.lax.scan(
+        scan_step, (state, ts0.obs, carry0), jnp.arange(horizon))
+    totals = jnp.sum(traj.reward, axis=0)
+    return totals, traj
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 5))
 def evaluate_episodes(env: Environment, params, policy_fn: Callable,
                       policy_state, key: jax.Array, num_envs: int):

@@ -1,0 +1,177 @@
+"""Trajectory-emitting kernel rollout (PPO experience generation).
+
+The Pallas rollout that replaces the learner's XLA experience-generation
+phase (ops/pallas_episode_kernels.rollout_traj_im + PPOConfig(rollout=
+"kernel")). CPU tests pin the XLA-side stream consumption (obs assembly,
+config validation); the hardware tests pin the kernel by replaying its
+dumped action/demand streams through the XLA step_with_demand chain and
+run the full kernel-rollout PPO update end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from or_gym_inventory_tpu.agents import ppo
+from or_gym_inventory_tpu.envs import inv_management as im
+
+
+def _replay_chain(params, acts, dems):
+    """XLA env chain on given streams: returns (obs_all (T+1, B, D),
+    rewards (T, B), final_inv (m1, B)) — the ground truth the rollout
+    streams must reproduce."""
+    T, m1, B = acts.shape
+
+    @jax.jit
+    def run(acts, dems):
+        state = jax.vmap(lambda _: im.reset(params)[0])(jnp.arange(B))
+        obs0 = jax.vmap(lambda s: im._obs(params, s))(state)
+
+        def body(carry, inp):
+            state = carry
+            a, d = inp
+            state, ts = jax.vmap(im.step_with_demand,
+                                 in_axes=(None, 0, 0, 0))(params, state,
+                                                          a, d)
+            return state, (ts.obs, ts.reward)
+
+        state, (obs_seq, rew) = jax.lax.scan(
+            body, state, (acts.transpose(0, 2, 1), dems))
+        obs_all = jnp.concatenate([obs0[None], obs_seq], axis=0)
+        return obs_all, rew, state.inv.T
+
+    return run(jnp.asarray(acts), jnp.asarray(dems))
+
+
+def test_assemble_obs_matches_env_chain():
+    """assemble_obs_from_streams reproduces the XLA chain's observation
+    stream exactly from (start-of-period inv, requested actions)."""
+    params = im.default_params(periods=13)
+    T, m1, B = params.periods, params.m1, 32
+    rng = np.random.default_rng(0)
+    acts = rng.integers(0, 80, (T, m1, B)).astype(np.int32)
+    dems = rng.poisson(20, (T, B)).astype(np.int32)
+    obs_all, _rew, final_inv = _replay_chain(params, acts, dems)
+
+    # start-of-period on-hand: obs rows carry it as the first m1 entries
+    inv_stream = np.concatenate(
+        [np.asarray(obs_all)[:T, :, :m1].transpose(0, 2, 1),
+         np.asarray(final_inv)[None]], axis=0)
+    got = np.asarray(im.assemble_obs_from_streams(
+        params, jnp.asarray(inv_stream), jnp.asarray(acts)))
+    np.testing.assert_array_equal(got, np.asarray(obs_all))
+
+
+def test_assemble_obs_clamps_negative_requests():
+    """The obs history encodes REQUESTED orders max(a, 0); negative raw
+    actions must not leak through the assembler."""
+    params = im.default_params(periods=6)
+    T, m1, B = params.periods, params.m1, 4
+    acts = np.full((T, m1, B), -7, np.int32)
+    inv = np.zeros((T + 1, m1, B), np.int32)
+    got = np.asarray(im.assemble_obs_from_streams(
+        params, jnp.asarray(inv), jnp.asarray(acts)))
+    assert got.min() == 0
+
+
+def test_kernel_rollout_config_validation():
+    """rollout='kernel' fails loudly off-TPU / off-family / unaligned."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    params = im.default_params(periods=8)
+    cfg = ppo.PPOConfig(rollout="kernel", num_envs=1024, rollout_steps=8)
+    with pytest.raises((RuntimeError, NotImplementedError)) as ei:
+        ppo.make_update_fn(im.ENV, params, cfg, total_updates=1)
+    if jax.default_backend() != "tpu":
+        assert "TPU" in str(ei.value)
+    with pytest.raises(ValueError, match="rollout_steps"):
+        ppo.make_update_fn(im.ENV, params,
+                           cfg.replace(rollout_steps=16), total_updates=1)
+    with pytest.raises(NotImplementedError, match="InvManagement"):
+        ppo.make_update_fn(nv.ENV, nv.default_params(step_limit=8),
+                           cfg, total_updates=1)
+    with pytest.raises(ValueError, match="rollout"):
+        ppo.make_update_fn(im.ENV, params,
+                           cfg.replace(rollout="nope"), total_updates=1)
+
+
+def _actor_and_logstd(params, cfg, seed=0):
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    model = ppo._make_model(im.ENV, params, cfg)
+    obs_dim = im.ENV.observation_space(params).shape[0]
+    mp = model.init(jax.random.PRNGKey(seed),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    rms = rms.update(50.0 + 20.0 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (256, obs_dim)))
+    return pek.fold_actor_params(cfg, mp, rms), \
+        mp["params"]["log_std"], mp, rms
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_traj_kernel_pinned_by_xla_replay():
+    """The trajectory kernel's dumped streams are mutually consistent and
+    reproduce the env: replaying (actions, demand) through the XLA
+    step_with_demand chain yields the dumped inv stream (bit-exact int
+    state), the dumped rewards, and the assembled obs; the dumped raw
+    actions squash to the dumped int actions."""
+    params = im.default_params(periods=12)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    actor, log_std, _mp, _rms = _actor_and_logstd(params, cfg)
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    B = 1024
+    tr = pek.rollout_traj_im(params, actor, log_std,
+                             jnp.asarray(97, jnp.int32), B)
+    acts = np.asarray(tr["actions"])
+    dems = np.asarray(tr["demand"])
+    obs_all, rew, final_inv = _replay_chain(params, acts, dems)
+
+    # env state: bit-exact int comparison
+    inv = np.asarray(tr["inv"])
+    np.testing.assert_array_equal(inv[-1], np.asarray(final_inv))
+    np.testing.assert_array_equal(
+        inv[:-1], np.asarray(obs_all)[:-1, :, :params.m1].transpose(0, 2, 1))
+    # rewards: float accumulation, same event math
+    np.testing.assert_allclose(np.asarray(tr["reward"]), np.asarray(rew),
+                               rtol=1e-5, atol=1e-2)
+    # the assembled obs (what the PPO update consumes) == the env chain's
+    got = np.asarray(im.assemble_obs_from_streams(
+        params, tr["inv"], tr["actions"]))
+    np.testing.assert_array_equal(got, np.asarray(obs_all))
+    # raw -> squash -> int cast reproduces the env-consumed actions
+    # (HIGHEST-precision kernel matmuls; isolated int-cast boundary ties)
+    c = np.asarray(params.c, np.float32)
+    a_re = ((np.tanh(np.asarray(tr["raw"]).transpose(0, 2, 1)) + 1.0)
+            * 0.5 * c).astype(np.int32)
+    assert (a_re == acts.transpose(0, 2, 1)).mean() > 0.999
+    # exploration noise is live: distinct lanes act differently
+    assert acts.std(axis=-1).mean() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_kernel_ppo_update_runs_and_learns_signal():
+    """Full kernel-rollout PPO: several episode-aligned updates through
+    make_update_fn(rollout='kernel') — finite losses, parameters move,
+    normalization statistics update."""
+    params = im.default_params(periods=12)
+    cfg = ppo.PPOConfig(rollout="kernel", num_envs=1024, rollout_steps=12,
+                        num_minibatches=4, update_epochs=2,
+                        updates_per_call=1)
+    U = 3
+    update = ppo.make_update_fn(im.ENV, params, cfg, total_updates=U)
+    state = jax.jit(lambda k: ppo.init_train_state(
+        im.ENV, params, cfg, k, U))(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
+    new_state, ms = chunk(state, jax.random.split(jax.random.PRNGKey(1), U))
+    for k in ("pg_loss", "v_loss", "entropy", "mean_step_reward"):
+        assert np.isfinite(np.asarray(ms[k])).all(), k
+    assert int(np.asarray(ms["episodes"])[0]) == cfg.num_envs
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.abs(np.asarray(l1) - np.asarray(l0)).max() > 0
+    assert float(new_state.rms.count) > float(state.rms.count)
+    assert int(new_state.update_idx) == U

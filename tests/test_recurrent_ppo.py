@@ -40,6 +40,53 @@ def test_recurrent_agent_host_eval(tmp_path):
     assert len(actions) == 6
 
 
+def test_recurrent_device_eval_path(tmp_path):
+    """fast=True coverage for recurrent agents: device_policy_stateful +
+    the carry-threading seeded evaluator produce per-episode rows with the
+    reference seeding protocol (deterministic in the recorded seeds), so
+    PPO_LSTM no longer silently drops to the host episode path."""
+    from or_gym_inventory_tpu.bench.evaluate import evaluate_agent_vectorized
+
+    params = nv.default_params(step_limit=6)
+    agent = rppo.RecurrentPPOAgent(
+        nv.ENV, nv.default_params, config=TINY,
+        model_dir=str(tmp_path), log_dir=str(tmp_path), seed=0)
+    agent.train({"step_limit": 6}, total_timesteps=8 * 6 * 2)
+
+    sf = agent.device_policy_stateful(nv.ENV, agent.env_params)
+    assert sf is not None and agent.device_policy(nv.ENV, params) is None
+    res = evaluate_agent_vectorized(agent, nv.ENV, agent.env_params,
+                                    n_episodes=5, seed=123)
+    df = res["summary"]
+    assert len(df) == 5
+    assert np.isfinite(df["TotalReward"]).all()
+    assert list(df["Seed"]) == list(123 + np.arange(5))
+    # seeded protocol: a re-run reproduces the totals exactly
+    res2 = evaluate_agent_vectorized(agent, nv.ENV, agent.env_params,
+                                     n_episodes=5, seed=123)
+    np.testing.assert_array_equal(df["TotalReward"].values,
+                                  res2["summary"]["TotalReward"].values)
+    # the carry matters: zeroing the hidden state each step (stateless
+    # readout of the same model) changes the actions/returns
+    carry0_fn, pol = sf
+
+    def stateless_pol(carry, obs, key, t):
+        c0 = carry0_fn(obs.shape[0])
+        _, a = pol(c0, obs, key, t)
+        return carry, a
+
+    from or_gym_inventory_tpu.vector import vecenv as _ve
+    tot_carry, _ = _ve.evaluate_episodes_seeded_stateful(
+        nv.ENV, agent.env_params, carry0_fn, pol,
+        jax.numpy.asarray(123 + np.arange(5)))
+    tot_frozen, _ = _ve.evaluate_episodes_seeded_stateful(
+        nv.ENV, agent.env_params, carry0_fn, stateless_pol,
+        jax.numpy.asarray(123 + np.arange(5)))
+    np.testing.assert_array_equal(np.asarray(tot_carry),
+                                  df["TotalReward"].values)
+    assert np.abs(np.asarray(tot_carry) - np.asarray(tot_frozen)).max() > 0
+
+
 def test_recurrent_ppo_sharded_trains_on_mesh():
     """Recurrent PPO data-parallel on the virtual 8-device mesh: env batch +
     LSTM carries sharded, params replicated (asserted buffer-for-buffer),

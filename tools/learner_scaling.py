@@ -1,19 +1,35 @@
-"""Learner throughput at TPU-native scale — the PPO/A2C scaling sweep.
+"""Learner throughput at TPU-native scale — the full scaling matrix.
 
 The evaluation engine steps billions of env-steps/s (PERFORMANCE.md); this
-tool measures how fast the FULL learner (fused rollout + GAE + minibatch
-SGD, agents/ppo.py) trains as the env batch grows to TPU-native sizes, and
-attributes the time between the rollout and the update machinery.
+tool measures how fast the FULL learners (rollout + GAE + minibatch SGD,
+agents/ppo.py; env-step + replay + gradient steps, agents/off_policy.py)
+train as the env batch grows to TPU-native sizes, across all three env
+families, and attributes the time between experience generation and the
+update machinery.
 
-For each (num_envs, rollout_steps, algo-shape) it jits a scan of U updates
-(one device program, the chunked-training form PPOAgent uses by default),
-warms the compile, then reports best-of-3 host-fetch-timed runs as
-trained-steps/s = U * num_envs * rollout_steps / wall. The rollout-only
-row runs the same policy+env scan without the SGD phase (vecenv.rollout
-with the PPO policy), isolating "experience generation" from "learning".
+For each (family, num_envs, shape) it jits a scan of U updates (one device
+program, the chunked-training form PPOAgent uses by default), warms the
+compile, then reports best-of-3 host-fetch-timed runs as trained-steps/s =
+U * num_envs * rollout_steps / wall. Shapes:
+
+- rollout_only      the policy+env scan alone (experience generation)
+- a2c / a2c_mb32    single-pass full-batch / 32-minibatch (SB3 A2C shapes)
+- ppo               4 epochs x 8 shuffled minibatches (classic recipe)
+- ppo_noshuffle     same, env-sliced minibatches (round-4 recipe)
+- ppo_kernel        PPO off the trajectory-emitting Pallas rollout
+                    (rollout='kernel'; episode-aligned, noshuffle;
+                    InvManagement only — PERFORMANCE.md round 5)
+- sac / td3 / ddpg  off-policy full loop, 1 gradient step per iteration
+                    (a COLLECTION rate: the replay ratio falls as the
+                    batch grows)
+- sac_fixedrr       SAC with updates_per_iter scaled so the gradient-
+                    steps : env-steps ratio stays fixed at 1:256 — the
+                    number comparable across batch sizes
 
 Run on the TPU:  python tools/learner_scaling.py
-Env knobs: OGT_SIZES=4096,16384,... OGT_ROLLOUT=32 OGT_SHAPES=ppo,a2c,...
+Env knobs: OGT_FAMILY=inv_management|newsvendor|net_inv_management
+           OGT_SIZES=4096,16384,... OGT_ROLLOUT=32 OGT_SHAPES=ppo,...
+           OGT_TARGET_STEPS / OGT_MAX_U (sweep budget per point)
 """
 
 import json
@@ -35,8 +51,11 @@ enable_persistent_compile_cache()
 from or_gym_inventory_tpu.agents import networks
 from or_gym_inventory_tpu.agents import ppo
 from or_gym_inventory_tpu.envs import inv_management as im
+from or_gym_inventory_tpu.envs import net_inv_management as net
+from or_gym_inventory_tpu.envs import newsvendor as nv
 from or_gym_inventory_tpu.vector import vecenv
 
+FAMILY = os.environ.get("OGT_FAMILY", "inv_management")
 SIZES = tuple(int(x) for x in os.environ.get(
     "OGT_SIZES", "4096,16384,65536,262144").split(","))
 ROLLOUT = int(os.environ.get("OGT_ROLLOUT", "32"))
@@ -44,6 +63,12 @@ SHAPES = tuple(os.environ.get(
     "OGT_SHAPES", "rollout_only,a2c,a2c_mb32,ppo").split(","))
 TARGET_STEPS = int(os.environ.get("OGT_TARGET_STEPS", str(8 << 20)))
 MAX_U = int(os.environ.get("OGT_MAX_U", "16"))
+
+_FAMILIES = {
+    "inv_management": (im.ENV, im.default_params),
+    "newsvendor": (nv.ENV, nv.default_params),
+    "net_inv_management": (net.ENV, net.default_params),
+}
 
 
 def time_fn(f, args, n=3):
@@ -58,11 +83,14 @@ def time_fn(f, args, n=3):
     return min(ts)
 
 
-def shape_cfg(shape, num_envs):
+def shape_cfg(shape, num_envs, horizon):
     """The algo shapes of the benchmark rosters, at sweep batch sizes."""
     base = dict(num_envs=num_envs, rollout_steps=ROLLOUT)
     if shape == "ppo":        # flagship PPO: 4 epochs x 8 minibatches
-        return ppo.PPOConfig(update_epochs=4, num_minibatches=8, **base)
+        # explicit True: measure the CLASSIC shuffled recipe even above the
+        # auto-default's noshuffle threshold
+        return ppo.PPOConfig(update_epochs=4, num_minibatches=8,
+                             shuffle_minibatches=True, **base)
     if shape == "a2c":        # single-pass full-batch (SB3 A2C)
         return ppo.PPOConfig(update_epochs=1, num_minibatches=1,
                              anneal_lr=False, optimizer="rmsprop", **base)
@@ -72,15 +100,20 @@ def shape_cfg(shape, num_envs):
     if shape == "ppo_noshuffle":  # PPO minus the per-epoch permutation
         return ppo.PPOConfig(update_epochs=4, num_minibatches=8,
                              shuffle_minibatches=False, **base)
+    if shape == "ppo_kernel":  # trajectory-emitting Pallas rollout
+        return ppo.PPOConfig(update_epochs=4, num_minibatches=8,
+                             shuffle_minibatches=False, rollout="kernel",
+                             num_envs=num_envs, rollout_steps=horizon)
     raise ValueError(shape)
 
 
-def measure_learner(params, shape, num_envs):
-    cfg = shape_cfg(shape, num_envs)
+def measure_learner(env, params, shape, num_envs):
+    horizon = env.horizon(params)
+    cfg = shape_cfg(shape, num_envs, horizon)
     U = min(MAX_U, max(2, TARGET_STEPS // (num_envs * cfg.rollout_steps)))
-    update = ppo.make_update_fn(im.ENV, params, cfg, total_updates=U)
+    update = ppo.make_update_fn(env, params, cfg, total_updates=U)
     state = jax.jit(lambda k: ppo.init_train_state(
-        im.ENV, params, cfg, k, U))(jax.random.PRNGKey(0))
+        env, params, cfg, k, U))(jax.random.PRNGKey(0))
     chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
     keys = jax.random.split(jax.random.PRNGKey(1), U)
     t0 = time.perf_counter()
@@ -93,14 +126,19 @@ def measure_learner(params, shape, num_envs):
                 us_per_update=round(best / U * 1e6))
 
 
-def measure_offpolicy(params, num_envs, algo="sac"):
+def measure_offpolicy(env, params, num_envs, algo="sac", fixed_rr=False):
     """SAC/TD3/DDPG through the full off-policy update (one env step per
-    env + gradient step(s) per iteration, sharded replay)."""
+    env + gradient step(s) per iteration, sharded replay). With
+    ``fixed_rr`` the gradient-steps : env-steps ratio is held at 1:256
+    (updates_per_iter scales with num_envs) so the number stays comparable
+    across batch sizes."""
     from or_gym_inventory_tpu.agents import off_policy as op
+    upi = max(1, num_envs // 256) if fixed_rr else 1
     cfg = op.OffPolicyConfig(algo=algo, num_envs=num_envs,
                              buffer_size=max(1 << 18, num_envs * 4),
-                             batch_size=256, start_steps=0)
-    init, update, _ = op.make_offpolicy(im.ENV, params, cfg)
+                             batch_size=256, start_steps=0,
+                             updates_per_iter=upi)
+    init, update, _ = op.make_offpolicy(env, params, cfg)
     state = jax.jit(init)(jax.random.PRNGKey(0))
     U = max(2, min(MAX_U, TARGET_STEPS // (num_envs * 8)))
 
@@ -118,27 +156,30 @@ def measure_offpolicy(params, num_envs, algo="sac"):
     steps = U * num_envs
     return dict(updates_per_call=U, time_ms=round(best * 1e3, 2),
                 compile_s=round(compile_s, 1),
+                updates_per_iter=upi,
                 trained_steps_per_s=round(steps / best),
                 us_per_update=round(best / U * 1e6))
 
 
-def measure_rollout_only(params, num_envs):
+def measure_rollout_only(env, params, num_envs):
     """Experience generation alone: the same fused policy+env scan the
     update starts with (policy inference + env step + auto-reset), no SGD."""
-    cfg = shape_cfg("a2c", num_envs)
-    model = ppo._make_model(im.ENV, params, cfg)
-    space = im.ENV.action_space(params)
+    cfg = shape_cfg("a2c", num_envs, env.horizon(params))
+    model = ppo._make_model(env, params, cfg)
+    space = env.action_space(params)
     low = jnp.asarray(space.low, jnp.float32)
     high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
                        jnp.float32)
+    int_actions = np.issubdtype(space.dtype, np.integer)
     p0 = model.init(jax.random.PRNGKey(0),
-                    jnp.zeros((1, im.ENV.observation_space(params).shape[0]),
+                    jnp.zeros((1, env.observation_space(params).shape[0]),
                               jnp.float32))
 
     def policy(_ps, obs, key, _t):
         mean, log_std, _ = model.apply(p0, obs.astype(jnp.float32))
         raw = networks.gaussian_sample(key, mean, log_std)
-        return networks.squash_action(raw, low, high).astype(jnp.int32)
+        a = networks.squash_action(raw, low, high)
+        return a.astype(jnp.int32) if int_actions else a
 
     U = min(MAX_U, max(2, TARGET_STEPS // (num_envs * ROLLOUT)))
 
@@ -146,11 +187,11 @@ def measure_rollout_only(params, num_envs):
         # mirror the learner: reset once, then scan U rollouts of ROLLOUT
         # steps each, carrying (env_state, obs) across update boundaries
         rkey, key = jax.random.split(key)
-        state, ts0 = vecenv.batch_reset(im.ENV, params, rkey, num_envs)
+        state, ts0 = vecenv.batch_reset(env, params, rkey, num_envs)
 
         def body(carry, k):
             (state, obs, _), traj = vecenv.rollout(
-                im.ENV, params, policy, None, k, num_envs, ROLLOUT,
+                env, params, policy, None, k, num_envs, ROLLOUT,
                 init_carry=carry)
             return (state, obs), jnp.sum(traj.reward)
 
@@ -166,18 +207,23 @@ def measure_rollout_only(params, num_envs):
 
 
 def main():
-    params = im.default_params()
-    print(json.dumps({"family": "inv_management", "rollout_steps": ROLLOUT,
+    env, params_factory = _FAMILIES[FAMILY]
+    params = params_factory()
+    print(json.dumps({"family": FAMILY, "rollout_steps": ROLLOUT,
+                      "horizon": env.horizon(params),
                       "backend": jax.default_backend()}), flush=True)
     for num_envs in SIZES:
         for shape in SHAPES:
             try:
                 if shape == "rollout_only":
-                    row = measure_rollout_only(params, num_envs)
+                    row = measure_rollout_only(env, params, num_envs)
                 elif shape in ("sac", "td3", "ddpg"):
-                    row = measure_offpolicy(params, num_envs, shape)
+                    row = measure_offpolicy(env, params, num_envs, shape)
+                elif shape == "sac_fixedrr":
+                    row = measure_offpolicy(env, params, num_envs, "sac",
+                                            fixed_rr=True)
                 else:
-                    row = measure_learner(params, shape, num_envs)
+                    row = measure_learner(env, params, shape, num_envs)
             except Exception as e:
                 print(json.dumps({"shape": shape, "num_envs": num_envs,
                                   "error": f"{type(e).__name__}: "
