@@ -96,6 +96,26 @@ class PPOConfig:
     # of the evaluation engine's fused kernels: experience generation stops
     # being the learner's bottleneck (PERFORMANCE.md round 5).
     rollout: str = struct.field(pytree_node=False, default="xla")
+    # Activation dtype for the kernel-rollout update's forward/backward
+    # passes ("bfloat16"; None = float32). Parameters, gradients,
+    # logp/adv/ret and the optimizer stay f32. Kernel-rollout path only
+    # (the XLA path computes logp_old in-rollout at f32 — mixing
+    # precisions would skew the epoch-0 ratio). Measured neutral at the
+    # default net sizes (the SGD phase is working-set bound, not
+    # compute bound — see minibatch_chunks); kept for wide nets.
+    compute_dtype: Optional[str] = struct.field(pytree_node=False,
+                                                default=None)
+    # Gradient accumulation within each minibatch: the minibatch gradient
+    # is computed as the exact mean of `minibatch_chunks` sequential
+    # sub-chunk gradients (advantage normalization uses the full
+    # minibatch's statistics, so the update is bit-equivalent to the
+    # unchunked recipe up to f32 summation order). At TPU-native batches
+    # a minibatch's forward/backward activations spill to HBM
+    # (~250k-sample minibatches measured ~2.3x slower per sample than
+    # ~60k); chunking keeps the working set on-chip WITHOUT changing the
+    # recipe. 0 (default) auto-picks the largest chunk under
+    # ~64k samples; 1 disables.
+    minibatch_chunks: int = struct.field(pytree_node=False, default=0)
     # Runs that many updates per device call (lax.scan over the update),
     # amortizing the per-call dispatch floor — decisive for SB3-shaped
     # configs (tiny batch, tens of thousands of updates) and for this
@@ -177,6 +197,35 @@ def _make_model(env: Environment, env_params, cfg: PPOConfig):
         vf_arch=cfg.vf_arch, activation=cfg.activation)
 
 
+def apply_actor_critic(params, obs_f, cfg: PPOConfig, dtype=None):
+    """MLPActorCritic.apply as raw-array math over the same param tree —
+    byte-identical layers/naming (pi trunk Dense_0.., mean Dense_{n_pi},
+    vf trunk after log_std, value head last; agents/networks.py), with
+    optional low-precision activations: ``dtype='bfloat16'`` casts matmul
+    inputs and accumulates f32 (preferred_element_type), leaving params,
+    biases and outputs f32. Returns (mean, log_std, value)."""
+    p = params["params"]
+    n_pi, n_vf = len(cfg.pi_arch), len(cfg.vf_arch)
+    act = {"tanh": jnp.tanh, "relu": jax.nn.relu,
+           "gelu": jax.nn.gelu}[cfg.activation]
+    cast = (lambda x: x.astype(dtype)) if dtype else (lambda x: x)
+
+    def dense(x, i):
+        d = p[f"Dense_{i}"]
+        return jnp.dot(cast(x), cast(d["kernel"]),
+                       preferred_element_type=jnp.float32) + d["bias"]
+
+    h = obs_f
+    for i in range(n_pi):
+        h = act(dense(h, i))
+    mean = dense(h, n_pi)
+    g = obs_f
+    for j in range(n_vf):
+        g = act(dense(g, n_pi + 1 + j))
+    value = dense(g, n_pi + 1 + n_vf)[..., 0]
+    return mean, p["log_std"], value
+
+
 def _optimizer(cfg: PPOConfig, total_updates: int):
     if cfg.anneal_lr:
         lr = optax.linear_schedule(
@@ -251,6 +300,11 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             raise RuntimeError(
                 "rollout='kernel' needs the TPU backend (Pallas episode "
                 "kernels); use rollout='xla' elsewhere")
+    elif cfg.compute_dtype is not None:
+        raise ValueError(
+            "compute_dtype is a kernel-rollout option (the XLA path "
+            "computes logp_old in-rollout at f32; mixing precisions "
+            "would skew the epoch-0 ratio)")
 
     # ------------------------------------------------- shared GAE phase
     def gae_advantages(reward, done, values, next_values):
@@ -270,23 +324,37 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         return advs
 
     # ------------------------------------------------- shared SGD phase
-    def sgd_phase(state, batch, n_envs, key):
+    def sgd_phase(state, batch, n_envs, key, forward=None,
+                  pre_normalized=False):
         """Epochs of minibatched clipped-surrogate SGD over a time-major
         batch dict (T, n_envs, ...) with keys obs/raw/logp/value/adv/ret.
+        ``forward`` overrides the model forward (the kernel path's
+        raw-array/low-precision apply); ``pre_normalized`` marks the
+        batch's obs as already normalized (stored once per update instead
+        of re-normalized per minibatch per epoch).
         Returns (params, opt_state, aux, flat)."""
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), batch)
         T_steps = batch["obs"].shape[0]
         batch_size = T_steps * n_envs
         mb_size = batch_size // cfg.num_minibatches
+        fwd = forward if forward is not None else \
+            (lambda p, o: model.apply(p, o))
 
-        def loss_fn(params, mb):
-            norm_obs = state.rms.normalize(mb["obs"]) if cfg.normalize_obs \
-                else mb["obs"].astype(jnp.float32)
-            mean, log_std, value = model.apply(params, norm_obs)
+        def loss_fn(params, mb, adv_stats=None):
+            if pre_normalized:
+                norm_obs = mb["obs"]
+            else:
+                norm_obs = state.rms.normalize(mb["obs"]) \
+                    if cfg.normalize_obs else mb["obs"].astype(jnp.float32)
+            mean, log_std, value = fwd(params, norm_obs)
             logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
             ratio = jnp.exp(logp - mb["logp"])
-            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
+            # advantage normalization uses the FULL minibatch's statistics
+            # (passed in when the gradient is chunk-accumulated)
+            a_mean, a_std = adv_stats if adv_stats is not None else (
+                mb["adv"].mean(), mb["adv"].std())
+            adv = (mb["adv"] - a_mean) / (a_std + 1e-8)
             pg1 = ratio * adv
             pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
             pg_loss = -jnp.minimum(pg1, pg2).mean()
@@ -298,9 +366,43 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
             return total, (pg_loss, v_loss, ent)
 
+        def chunk_count(mb_samples: int) -> int:
+            if cfg.minibatch_chunks > 0:
+                k = cfg.minibatch_chunks
+            else:
+                # auto: largest chunk at/below the measured on-chip sweet
+                # spot (~32k samples; larger minibatches spill the fwd/bwd
+                # activations to HBM — PERFORMANCE.md round 5)
+                k = -(-mb_samples // 32768)
+            while mb_samples % k:
+                k += 1
+            return min(k, mb_samples)
+
+        def minibatch_grads(params, mb):
+            """Exact minibatch gradient, computed whole or as the mean of
+            equal-size sequential chunk gradients (identical up to f32
+            summation order — chunk losses are means over equal chunks)."""
+            n = mb["adv"].shape[0]
+            k = chunk_count(n)
+            if k <= 1:
+                return jax.grad(loss_fn, has_aux=True)(params, mb)
+            stats = (mb["adv"].mean(), mb["adv"].std())
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape((k, n // k) + x.shape[1:]), mb)
+
+            def acc(g_sum, ch):
+                g, aux = jax.grad(loss_fn, has_aux=True)(params, ch, stats)
+                return jax.tree_util.tree_map(jnp.add, g_sum, g), aux
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            g_sum, auxs = jax.lax.scan(acc, zeros, chunks)
+            grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
+            aux = jax.tree_util.tree_map(jnp.mean, auxs)
+            return grads, aux
+
         def minibatch(carry, mb):
             params, opt_state = carry
-            grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+            grads, aux = minibatch_grads(params, mb)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -399,11 +501,26 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             ret_rms = state.ret_rms
             reward = reward_raw
 
+        D = obs_all.shape[-1]
+        # rms statistics from the RAW obs, up front — the batch stores the
+        # obs pre-normalized (with the pre-update statistics, matching the
+        # XLA path's rollout-time normalization), optionally in bf16:
+        # re-normalizing the int obs per minibatch per epoch was pure HBM
+        # traffic on a bandwidth-bound phase
+        rms = state.rms.update(obs_all[:T].reshape(-1, D), axis_name) \
+            if cfg.normalize_obs else state.rms
         norm = state.rms.normalize if cfg.normalize_obs else \
             (lambda x: x.astype(jnp.float32))
-        D = obs_all.shape[-1]
-        mean_all, _, value_all = model.apply(
-            state.params, norm(obs_all.reshape(-1, D)))
+        obs_n = norm(obs_all.reshape(-1, D))
+        if cfg.compute_dtype is not None:
+            obs_n = obs_n.astype(cfg.compute_dtype)
+
+        def fwd(p, o):
+            return apply_actor_critic(p, o, cfg, cfg.compute_dtype)
+
+        # logp_old/values from the SAME obs tensor and forward the SGD
+        # epochs will use — self-consistent across epochs by construction
+        mean_all, _, value_all = fwd(state.params, obs_n)
         mean_all = mean_all.reshape(T + 1, n_envs, -1)
         value_all = value_all.reshape(T + 1, n_envs)
         logp = networks.gaussian_log_prob(raw, mean_all[:T], log_std)
@@ -413,12 +530,10 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         done = jnp.zeros((T, n_envs), bool).at[T - 1].set(True)
         advs = gae_advantages(reward, done, values, next_values)
 
-        batch = dict(obs=obs_all[:T], raw=raw, logp=logp, value=values,
-                     adv=advs, ret=advs + values)
-        params, opt_state, aux, flat = sgd_phase(state, batch, n_envs, key)
-
-        rms = state.rms.update(flat["obs"], axis_name) if cfg.normalize_obs \
-            else state.rms
+        batch = dict(obs=obs_n.reshape(T + 1, n_envs, D)[:T], raw=raw,
+                     logp=logp, value=values, adv=advs, ret=advs + values)
+        params, opt_state, aux, _flat = sgd_phase(
+            state, batch, n_envs, key, forward=fwd, pre_normalized=True)
         mean_step_reward = jnp.mean(reward_raw)
         if axis_name is not None:
             mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)

@@ -1202,6 +1202,185 @@ def sample_policy_streams_debug_im(params: InvManagementParams, actor, seed,
     return (rew, acts.reshape(T, E, m1, batch), dems.reshape(T, E, batch))
 
 
+# ----------------------- LSTM-policy-in-kernel (recurrent MXU evaluator)
+#
+# PPO_LSTM tops two RESULTS.md tables, yet recurrent policies previously
+# had no kernel path — evaluation ran through the XLA rollout (the carry-
+# threading evaluate_episodes_seeded_stateful, ~10-60M steps/s). The LSTM
+# cell is just two MXU matmuls plus elementwise gates, and the hidden
+# state is nothing special in this kernel design: (hidden, lanes) f32
+# planes living in VMEM next to the env state. Per period:
+#
+#   X (obs_dim, n)  obs rows assembled from live env state (_im_obs_rows)
+#   E = act(Wenc @ X + benc)                    encoder    (enc, n)
+#   G = Wx @ E + Wh @ H + bh                    gates      (4*hidden, n)
+#   i,f,g,o = sigmoid/tanh splits of G's row blocks (flax OptimizedLSTMCell
+#             layout: [ii|if|ig|io] / [hi|hf|hg|ho], agents/networks.py)
+#   C = f*C + i*g ; H = o*tanh(C)
+#   mean = Wm @ H + bm -> tanh-squash -> int actions
+#
+# The Wh @ H matmul is (4h, h) @ (h, block) — MXU-shaped with zero padding
+# waste at hidden=128. Pinned like the MLP policy kernels: the dump twin
+# replays the PRNG order and the dumped streams reproduce through the
+# pre-materialized kernel and the XLA flax chain.
+
+def fold_lstm_actor(cfg, model_params, rms=None):
+    """Extract the deterministic LSTM actor from a RecurrentPPO/A2C_LSTM
+    train state as plain (out, in)-layout f32 arrays, obs normalization
+    folded into the encoder's first layer. Returns a dict with keys
+    enc (list of (W, b)), wx (4h, enc), wh (4h, h), bh (4h, 1),
+    wm (act, h), bm (act, 1) — gate row blocks ordered [i, f, g, o]."""
+    assert getattr(cfg, "activation", "tanh") == "tanh", (
+        "LSTM-policy-in-kernel supports tanh encoders (the benchmark "
+        f"default); got activation={cfg.activation!r}")
+    p = model_params["params"]
+    n_enc = len(cfg.encoder)
+    enc = []
+    for i in range(n_enc):
+        d = p[f"Dense_{i}"]
+        W = jnp.asarray(d["kernel"], jnp.float32)
+        b = jnp.asarray(d["bias"], jnp.float32)
+        if i == 0 and rms is not None and getattr(cfg, "normalize_obs", True):
+            invstd = 1.0 / jnp.sqrt(jnp.asarray(rms.var, jnp.float32) + 1e-8)
+            mu = jnp.asarray(rms.mean, jnp.float32)
+            b = b - (mu * invstd) @ W
+            W = W * invstd[:, None]
+        enc.append((W.T, b.reshape(-1, 1)))
+    cell = p["OptimizedLSTMCell_0"]
+    wx = jnp.concatenate([jnp.asarray(cell[k]["kernel"], jnp.float32)
+                          for k in ("ii", "if", "ig", "io")], axis=1).T
+    wh = jnp.concatenate([jnp.asarray(cell[k]["kernel"], jnp.float32)
+                          for k in ("hi", "hf", "hg", "ho")], axis=1).T
+    bh = jnp.concatenate([jnp.asarray(cell[k]["bias"], jnp.float32)
+                          for k in ("hi", "hf", "hg", "ho")]).reshape(-1, 1)
+    mean_head = p[f"Dense_{n_enc}"]  # Dense_{n_enc+1} is the value head
+    wm = jnp.asarray(mean_head["kernel"], jnp.float32).T
+    bm = jnp.asarray(mean_head["bias"], jnp.float32).reshape(-1, 1)
+    return dict(enc=enc, wx=wx, wh=wh, bh=bh, wm=wm, bm=bm)
+
+
+def _im_lstm_kernel(params: InvManagementParams, num_steps, spec, precision,
+                    n_enc, hidden, dump_streams, *refs):
+    seed_ref = refs[0]
+    enc_refs = refs[1:1 + 2 * n_enc]
+    wx_ref, wh_ref, bh_ref, wm_ref, bm_ref = refs[1 + 2 * n_enc:
+                                                  6 + 2 * n_enc]
+    outs = refs[6 + 2 * n_enc:]
+    if dump_streams:
+        rew_ref, acts_ref, dems_ref = outs
+    else:
+        rew_ref, = outs
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    m1, lt = params.m1, params.lt_max
+    tile = rew_ref.shape[1:]
+    n = 1
+    for s in tile:
+        n *= s
+    zero = jnp.zeros(tile, jnp.int32)
+    inv = [jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
+    bkl = [zero for _ in range(params.num_stages)]
+    RH = [zero for _ in range(lt * m1)]
+    AH = [zero for _ in range(lt * m1)]
+    H = jnp.zeros((hidden, n), jnp.float32)
+    C = jnp.zeros((hidden, n), jnp.float32)
+    total = jnp.zeros(tile, jnp.float32)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                  precision=precision)
+    for t in range(num_steps):
+        dems = _im_sample_demand(params, tile, t, spec, 1)
+        obs_rows = _im_obs_rows(params, t, inv, AH)
+        X = jnp.stack([r.astype(jnp.float32) for r in obs_rows]).reshape(
+            len(obs_rows), n)
+        for i in range(n_enc):
+            X = jnp.tanh(dot(enc_refs[2 * i][...], X)
+                         + enc_refs[2 * i + 1][...])
+        G = dot(wx_ref[...], X) + dot(wh_ref[...], H) + bh_ref[...]
+        ig = jax.nn.sigmoid(G[0:hidden])
+        fg = jax.nn.sigmoid(G[hidden:2 * hidden])
+        gg = jnp.tanh(G[2 * hidden:3 * hidden])
+        og = jax.nn.sigmoid(G[3 * hidden:4 * hidden])
+        C = fg * C + ig * gg
+        H = og * jnp.tanh(C)
+        M = dot(wm_ref[...], H) + bm_ref[...]
+        S = jnp.tanh(M) + 1.0
+        acts = [((S[i:i + 1]) * (0.5 * float(params.c[i])))
+                .astype(jnp.int32).reshape(tile) for i in range(m1)]
+        inv, bkl, RH, r_req, profit = _im_step_math(
+            params, t, inv, bkl, RH, acts, dems[0])
+        if lt:
+            AH = r_req + AH[: (lt - 1) * m1]
+        total = total + (params.alpha ** t) * profit
+        if dump_streams:
+            for i in range(m1):
+                acts_ref[t * m1 + i] = acts[i]
+            dems_ref[t] = dems[0]
+    rew_ref[0] = total
+
+
+def _im_lstm_call(params, actor, seed, batch, block, dump_streams,
+                  interpret, precision):
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    sub = block // 128
+    T, m1 = params.periods, params.m1
+    spec = _im_demand_spec(params)
+    hidden = actor["wh"].shape[1]
+    n_enc = len(actor["enc"])
+    kernel = partial(_im_lstm_kernel, params, T, spec, precision, n_enc,
+                     hidden, dump_streams)
+
+    def tspec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    weights = [w for pair in actor["enc"] for w in pair] + [
+        actor["wx"], actor["wh"], actor["bh"], actor["wm"], actor["bm"]]
+    out_rows = [1] + ([T * m1, T] if dump_streams else [])
+    out_specs = [tspec(r) for r in out_rows]
+    out_shape = [jax.ShapeDtypeStruct((r, batch // 128, 128),
+                                      jnp.float32 if i == 0 else jnp.int32)
+                 for i, r in enumerate(out_rows)]
+    if not dump_streams:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in weights],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *weights)
+
+
+def episode_returns_im_lstm(params: InvManagementParams, actor, seed,
+                            batch: int, block: int = 1024,
+                            interpret: bool = False, precision=None):
+    """Deterministic LSTM-policy episode returns, the recurrent cell fused
+    in-kernel (see the section comment). ``actor`` from
+    ``fold_lstm_actor``. Returns (batch,) float32."""
+    out = _im_lstm_call(params, actor, seed, batch, block, False, interpret,
+                        precision)
+    return out.reshape(batch)
+
+
+def sample_lstm_streams_debug_im(params: InvManagementParams, actor, seed,
+                                 batch: int, block: int = 1024,
+                                 interpret: bool = False, precision=None):
+    """(returns, actions (T, m1, batch) i32, demands (T, batch) i32) — the
+    exact streams the LSTM policy kernel produced/consumed (identical PRNG
+    consumption: demand only)."""
+    T, m1 = params.periods, params.m1
+    rew, acts, dems = _im_lstm_call(params, actor, seed, batch, block, True,
+                                    interpret, precision)
+    return (rew.reshape(batch), acts.reshape(T, m1, batch),
+            dems.reshape(T, batch))
+
+
 # ------------------- trajectory-emitting rollout (kernel experience gen)
 #
 # The policy-in-kernel evaluators above are returns-only by design; the

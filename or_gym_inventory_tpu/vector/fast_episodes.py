@@ -222,3 +222,81 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
                           "back to the XLA rollout", RuntimeWarning)
     return xla()
 
+
+def lstm_policy_episode_returns(params, actor, key: jax.Array, batch: int,
+                                block: int = 1024, use_pallas: bool = True):
+    """Per-episode returns under a DETERMINISTIC learned LSTM policy.
+
+    ``actor`` is the dict from ``ops.pallas_episode_kernels.
+    fold_lstm_actor`` (encoder + gate blocks + mean head as plain f32
+    arrays, obs normalization pre-folded — build it from a RecurrentPPO /
+    A2C_LSTM train state). On TPU the InvManagement family runs the
+    LSTM-policy-in-kernel evaluator (the recurrent cell as two MXU
+    matmuls with the (hidden, lanes) carry VMEM-resident —
+    episode_returns_im_lstm); every other case runs the same folded math
+    through an XLA scan with the carry threaded. Episode ordering caveats
+    are as in :func:`random_episode_returns`."""
+    env = (nv.ENV if isinstance(params, nv.NewsvendorParams)
+           else im.ENV if isinstance(params, im.InvManagementParams)
+           else net.ENV if isinstance(params, net.NetInvParams) else None)
+    if env is None:
+        raise TypeError(f"Unknown params type {type(params).__name__}")
+    if use_pallas and jax.default_backend() == "tpu" and \
+            isinstance(params, im.InvManagementParams):
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
+            episode_returns_im_lstm
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        try:
+            return episode_returns_im_lstm(params, actor, seed, batch,
+                                           block=max(block, 1024))
+        except NotImplementedError as e:
+            warnings.warn(f"LSTM policy kernel unavailable ({e}); falling "
+                          "back to the XLA rollout", RuntimeWarning)
+
+    # XLA fallback: the folded math verbatim, carry threaded by the scan
+    import numpy as np
+    space = env.action_space(params)
+    low = jnp.asarray(space.low, jnp.float32)
+    high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
+                       jnp.float32)
+    int_actions = np.issubdtype(space.dtype, np.integer)
+    hidden = actor["wh"].shape[1]
+    horizon = env.horizon(params)
+
+    @jax.jit
+    def run(key):
+        rkey, key = jax.random.split(key)
+        state, ts0 = vecenv.batch_reset(env, params, rkey, batch)
+
+        def body(carry, _):
+            state, obs, H, C, key = carry
+            skey, key = jax.random.split(key)
+            X = obs.astype(jnp.float32)
+            for W, b in actor["enc"]:          # (out, in) layout
+                X = jnp.tanh(X @ W.T + b.T)
+            G = X @ actor["wx"].T + H @ actor["wh"].T + actor["bh"].T
+            i = jax.nn.sigmoid(G[:, :hidden])
+            f = jax.nn.sigmoid(G[:, hidden:2 * hidden])
+            g = jnp.tanh(G[:, 2 * hidden:3 * hidden])
+            o = jax.nn.sigmoid(G[:, 3 * hidden:])
+            C = f * C + i * g
+            H = o * jnp.tanh(C)
+            mean = H @ actor["wm"].T + actor["bm"].T
+            from or_gym_inventory_tpu.agents import networks
+            a = networks.squash_action(mean, low, high)
+            a = a.astype(jnp.int32) if int_actions else a
+            state, ts = vecenv.batch_step(env, params, state, a, skey, batch)
+            return (state, ts.obs, H, C, key), ts.reward
+
+        z = jnp.zeros((batch, hidden), jnp.float32)
+        (_, _, _, _, _), rew = jax.lax.scan(
+            body, (state, ts0.obs, z, z, key), None, length=horizon)
+        # newsvendor step rewards are UNdiscounted (kernels/reference
+        # accumulate gamma**t); IM/net discount in-step
+        if isinstance(params, nv.NewsvendorParams) and params.gamma != 1.0:
+            w = params.gamma ** jnp.arange(horizon, dtype=jnp.float32)
+            return jnp.sum(w[:, None] * rew, axis=0)
+        return jnp.sum(rew, axis=0)
+
+    return run(key)
+

@@ -95,6 +95,33 @@ def test_kernel_rollout_config_validation():
                            cfg.replace(rollout="nope"), total_updates=1)
 
 
+def test_apply_actor_critic_matches_flax():
+    """The raw-array forward (the kernel path's SGD forward) reproduces
+    MLPActorCritic.apply over the same param tree at f32."""
+    params = im.default_params(periods=6)
+    cfg = ppo.PPOConfig(pi_arch=(32, 16), vf_arch=(24,))
+    model = ppo._make_model(im.ENV, params, cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (64, 33), jnp.float32)
+    mp = model.init(jax.random.PRNGKey(0), obs[:1])
+    m1, s1, v1 = model.apply(mp, obs)
+    m2, s2, v2 = ppo.apply_actor_critic(mp, obs, cfg)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # bf16 activations: same function to ~bf16 resolution
+    m3, _, v3 = ppo.apply_actor_critic(mp, obs, cfg, dtype="bfloat16")
+    assert np.abs(np.asarray(m3) - np.asarray(m1)).max() < 0.05
+    assert m3.dtype == jnp.float32  # f32 accumulate/out
+
+
+def test_compute_dtype_requires_kernel_rollout():
+    params = im.default_params(periods=8)
+    cfg = ppo.PPOConfig(num_envs=16, rollout_steps=8,
+                        compute_dtype="bfloat16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ppo.make_update_fn(im.ENV, params, cfg, total_updates=1)
+
+
 def _actor_and_logstd(params, cfg, seed=0):
     from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
     model = ppo._make_model(im.ENV, params, cfg)

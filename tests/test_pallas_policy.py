@@ -229,6 +229,128 @@ def test_nv_policy_kernel_pinned():
     assert a.std() > 0
 
 
+def _make_lstm_actor(params, cfg, seed=0):
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rppo
+    model = rppo._make_model(im.ENV, params, cfg)
+    obs_dim = im.ENV.observation_space(params).shape[0]
+    c0 = model.initial_carry(1)
+    mp = model.init(jax.random.PRNGKey(seed), c0,
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    rms = rms.update(50.0 + 20.0 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (256, obs_dim)))
+    return model, mp, rms
+
+
+def test_fold_lstm_actor_matches_flax_apply():
+    """fold_lstm_actor's arrays reproduce one flax LSTMActorCritic step:
+    normalize -> encoder -> OptimizedLSTMCell -> mean head."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rppo
+    params = im.default_params(periods=6)
+    cfg = rppo.RecurrentPPOConfig(hidden=16, encoder=(24,))
+    model, mp, rms = _make_lstm_actor(params, cfg)
+    actor = pek.fold_lstm_actor(cfg, mp, rms)
+    hidden = 16
+    B = 32
+    obs = jnp.asarray(50.0 + 30.0 * jax.random.normal(
+        jax.random.PRNGKey(3), (B, 33)), jnp.float32)
+    H0 = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (B, hidden))
+    C0 = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (B, hidden))
+
+    # folded math (the kernel's computation, XLA layout)
+    X = obs
+    for W, b in actor["enc"]:
+        X = jnp.tanh(X @ W.T + b.T)
+    G = X @ actor["wx"].T + H0 @ actor["wh"].T + actor["bh"].T
+    i = jax.nn.sigmoid(G[:, :hidden])
+    f = jax.nn.sigmoid(G[:, hidden:2 * hidden])
+    g = jnp.tanh(G[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(G[:, 3 * hidden:])
+    C1 = f * C0 + i * g
+    H1 = o * jnp.tanh(C1)
+    mean_fold = H1 @ actor["wm"].T + actor["bm"].T
+
+    (c_ref, h_ref), (mean_ref, _, _) = model.apply(
+        mp, (jnp.asarray(C0), jnp.asarray(H0)), rms.normalize(obs))
+    np.testing.assert_allclose(np.asarray(mean_fold), np.asarray(mean_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(c_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_policy_episode_returns_xla_fallback():
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rppo
+    from or_gym_inventory_tpu.vector import fast_episodes
+    params = im.default_params(periods=6)
+    cfg = rppo.RecurrentPPOConfig(hidden=8, encoder=(8,))
+    _model, mp, rms = _make_lstm_actor(params, cfg)
+    actor = pek.fold_lstm_actor(cfg, mp, rms)
+    r = np.asarray(fast_episodes.lstm_policy_episode_returns(
+        params, actor, jax.random.PRNGKey(0), 32, use_pallas=False))
+    assert r.shape == (32,) and np.isfinite(r).all()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_im_lstm_policy_kernel_pinned():
+    """The LSTM-policy-in-kernel evaluator: dump == plain; the dumped
+    action/demand streams reproduce the returns through the
+    pre-materialized kernel; the XLA flax chain on the same demand stream
+    produces the same actions (HIGHEST precision both sides)."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rppo
+    params = im.default_params(periods=12)
+    cfg = rppo.RecurrentPPOConfig(hidden=128, encoder=(64,))
+    model, mp, rms = _make_lstm_actor(params, cfg)
+    actor = pek.fold_lstm_actor(cfg, mp, rms)
+    seed = jnp.asarray(71, jnp.int32)
+    B = 1024
+    rew_d, acts, dems = pek.sample_lstm_streams_debug_im(
+        params, actor, seed, B, block=1024)
+    fused = np.asarray(pek.episode_returns_im_lstm(params, actor, seed, B,
+                                                   block=1024))
+    np.testing.assert_allclose(np.asarray(rew_d), fused, rtol=1e-6,
+                               atol=1e-4)
+    pre = np.asarray(pek.episode_returns_im(params, acts, dems, block=512))
+    np.testing.assert_allclose(fused, pre, rtol=1e-5, atol=1e-3)
+
+    # XLA flax chain on the same demand stream, both sides HIGHEST
+    rew_hp, acts_hp, dems_hp = pek.sample_lstm_streams_debug_im(
+        params, actor, seed, B, block=1024,
+        precision=jax.lax.Precision.HIGHEST)
+    c = jnp.asarray(params.c, jnp.float32)
+
+    @jax.jit
+    def xla_chain(dems_tb):
+        Bb = dems_tb.shape[1]
+        state = jax.vmap(lambda _: im.reset(params)[0])(jnp.arange(Bb))
+        obs0 = jax.vmap(lambda s: im._obs(params, s))(state)
+        carry0 = model.initial_carry(Bb)
+
+        def body(carry, d):
+            state, obs, lstm_c = carry
+            lstm_c, (mean, _, _) = model.apply(mp, lstm_c,
+                                               rms.normalize(obs))
+            a = ((jnp.tanh(mean) + 1.0) * 0.5 * c).astype(jnp.int32)
+            state, ts = jax.vmap(im.step_with_demand,
+                                 in_axes=(None, 0, 0, 0))(params, state,
+                                                          a, d)
+            return (state, ts.obs, lstm_c), a
+
+        _, a_seq = jax.lax.scan(body, (state, obs0, carry0), dems_tb)
+        return a_seq
+
+    with jax.default_matmul_precision("highest"):
+        a_xla = xla_chain(jnp.asarray(dems_hp))
+    a_kern = np.asarray(acts_hp).transpose(0, 2, 1)
+    same = (np.asarray(a_xla) == a_kern)
+    assert same.mean() > 0.999, same.mean()
+    # recurrence is live: hidden state shapes behavior over time
+    assert np.asarray(acts).std(axis=0).mean() > 0
+
+
 def test_stochastic_eval_requires_log_std():
     from or_gym_inventory_tpu.vector import fast_episodes
     params = im.default_params(periods=4)

@@ -100,6 +100,34 @@ def test_envsliced_recipe_reward_parity():
         6 * se, 0.15 * abs(t_sh.mean())), (t_sh.mean(), t_ns.mean(), se)
 
 
+def test_minibatch_chunking_matches_unchunked():
+    """minibatch_chunks accumulates the EXACT minibatch gradient in
+    sub-chunks (full-minibatch advantage statistics, equal-chunk mean):
+    training with chunking on/off from the same seed yields matching
+    parameters up to f32 summation order."""
+    params = im.default_params(periods=8)
+    base = ppo.PPOConfig(num_envs=32, rollout_steps=8, num_minibatches=2,
+                         update_epochs=2, pi_arch=(16,), vf_arch=(16,),
+                         minibatch_chunks=1)
+    chunked = base.replace(minibatch_chunks=4)
+    s1, m1 = ppo.train(im.ENV, params, base, jax.random.PRNGKey(0),
+                       total_timesteps=32 * 8 * 3)
+    s2, m2 = ppo.train(im.ENV, params, chunked, jax.random.PRNGKey(0),
+                       total_timesteps=32 * 8 * 3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1["pg_loss"], m2["pg_loss"],
+                               rtol=1e-3, atol=1e-4)
+    # tiny batches stay unchunked under auto mode (chunk_count -> 1)
+    auto = base.replace(minibatch_chunks=0)
+    s3, _ = ppo.train(im.ENV, params, auto, jax.random.PRNGKey(0),
+                      total_timesteps=32 * 8 * 2)
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(s3.params)[0])).all()
+
+
 def test_ppo_sharded_matches_api():
     mesh = pmesh.make_mesh()
     assert mesh.devices.size == 8

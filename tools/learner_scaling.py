@@ -104,6 +104,11 @@ def shape_cfg(shape, num_envs, horizon):
         return ppo.PPOConfig(update_epochs=4, num_minibatches=8,
                              shuffle_minibatches=False, rollout="kernel",
                              num_envs=num_envs, rollout_steps=horizon)
+    if shape == "ppo_kernel_bf16":  # + bf16 activations in the SGD phase
+        return ppo.PPOConfig(update_epochs=4, num_minibatches=8,
+                             shuffle_minibatches=False, rollout="kernel",
+                             compute_dtype="bfloat16",
+                             num_envs=num_envs, rollout_steps=horizon)
     raise ValueError(shape)
 
 
