@@ -286,16 +286,17 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         raise ValueError(f"rollout must be 'xla' or 'kernel', got "
                          f"{cfg.rollout!r}")
     if cfg.rollout == "kernel":
-        from or_gym_inventory_tpu.envs import inv_management as im_env
-        if not isinstance(env_params, im_env.InvManagementParams):
+        fam = getattr(env, "name", None)
+        if fam not in ("inv_management", "newsvendor"):
             raise NotImplementedError(
                 "rollout='kernel' currently supports the InvManagement "
-                f"family only (got {type(env_params).__name__})")
-        if cfg.rollout_steps != env_params.periods:
+                f"and Newsvendor families (got {fam!r})")
+        horizon = env.horizon(env_params)
+        if cfg.rollout_steps != horizon:
             raise ValueError(
                 "rollout='kernel' runs episode-aligned updates: "
                 f"rollout_steps ({cfg.rollout_steps}) must equal the env "
-                f"horizon ({env_params.periods})")
+                f"horizon ({horizon})")
         if jax.default_backend() != "tpu":
             raise RuntimeError(
                 "rollout='kernel' needs the TPU backend (Pallas episode "
@@ -467,9 +468,8 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         the hardware PRNG), the dumped streams reconstruct the obs batch
         with zero per-step round-trips, and logp/values are recomputed in
         one batched forward (self-consistent across epochs)."""
-        from or_gym_inventory_tpu.envs import inv_management as im_env
         from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
-            fold_actor_params, rollout_traj_im)
+            fold_actor_params, rollout_traj_im, rollout_traj_nv)
         n_envs = state.last_obs.shape[0]
         T = cfg.rollout_steps
 
@@ -478,10 +478,17 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
         actor = fold_actor_params(
             cfg, state.params, state.rms if cfg.normalize_obs else None)
         log_std = state.params["params"]["log_std"]
-        tr = rollout_traj_im(env_params, actor, log_std, seed, n_envs)
-        obs_all = im_env.assemble_obs_from_streams(
-            env_params, tr["inv"], tr["actions"])        # (T+1, B, D) i32
-        raw = tr["raw"].transpose(0, 2, 1)               # (T, B, m1)
+        if env.name == "inv_management":
+            from or_gym_inventory_tpu.envs import inv_management as fam_env
+            tr = rollout_traj_im(env_params, actor, log_std, seed, n_envs)
+            obs_all = fam_env.assemble_obs_from_streams(
+                env_params, tr["inv"], tr["actions"])    # (T+1, B, D) i32
+        else:
+            from or_gym_inventory_tpu.envs import newsvendor as fam_env
+            tr = rollout_traj_nv(env_params, actor, log_std, seed, n_envs)
+            obs_all = fam_env.assemble_obs_from_streams(
+                env_params, tr["econ"], tr["orders"])    # (T+1, B, D) f32
+        raw = tr["raw"].transpose(0, 2, 1)               # (T, B, act_dim)
         reward_raw = tr["reward"]                        # (T, B)
 
         # running discounted return (reward-normalization statistics);

@@ -86,6 +86,36 @@ def _obs(state: NewsvendorState) -> jax.Array:
     return jnp.concatenate([state.econ, state.pipeline])
 
 
+def assemble_obs_from_streams(params: NewsvendorParams, econ, orders):
+    """Reconstruct the full observation stream from rollout streams — the
+    gather form of ``_obs`` over a whole episode (the newsvendor analogue
+    of inv_management.assemble_obs_from_streams, feeding the PPO update
+    from ops/pallas_episode_kernels.rollout_traj_nv).
+
+    ``econ`` (5, B) f32 per-episode economics; ``orders`` (T, B) f32
+    CAPPED order quantities (the values entering the pipeline). Returns
+    (T+1, B, obs_dim) f32 where row t == ``_obs`` of the period-t state:
+    econ first, then pipeline[j] = order of period t - lead_time + j
+    (zero before the episode)."""
+    import numpy as np
+    T, B = orders.shape
+    L = params.lead_time
+    econ_b = jnp.broadcast_to(jnp.asarray(econ, jnp.float32)[None],
+                              (T + 1, 5, B))
+    if L == 0:
+        return econ_b.transpose(0, 2, 1)
+    padded = jnp.concatenate(
+        [jnp.asarray(orders, jnp.float32),
+         jnp.zeros((1, B), jnp.float32)], axis=0)   # row T = zeros
+    idx = np.full((T + 1, L), T, np.int32)
+    for t in range(T + 1):
+        for j in range(L):
+            if 0 <= t - L + j < T:
+                idx[t, j] = t - L + j
+    hist = padded[jnp.asarray(idx)]                  # (T+1, L, B)
+    return jnp.concatenate([econ_b, hist], axis=1).transpose(0, 2, 1)
+
+
 def _info(params: NewsvendorParams, state: NewsvendorState):
     return {
         "price": state.econ[0], "cost": state.econ[1],

@@ -93,7 +93,7 @@ def _nv_step_math(params: NewsvendorParams, P, price, cost, h, k,
     reward = sales * price - order_qty * cost - excess * h - short * k
     if L > 0:
         P = P[1:] + [order_qty]
-    return P, reward
+    return P, reward, order_qty
 
 
 def _nv_kernel(params: NewsvendorParams, num_steps, in_kernel_actions,
@@ -114,8 +114,8 @@ def _nv_kernel(params: NewsvendorParams, num_steps, in_kernel_actions,
             # pre-sampled stream; reference clips to [0, max_order]
             order_raw = jnp.clip(acts_ref[t, :], 0.0,
                                  params.max_order_quantity)
-        P, reward = _nv_step_math(params, P, price, cost, h, k,
-                                  order_raw, dems_ref[t, :])
+        P, reward, _q = _nv_step_math(params, P, price, cost, h, k,
+                                      order_raw, dems_ref[t, :])
         total = total + (params.gamma ** t) * reward
     rew_ref[0, :] = total
 
@@ -315,8 +315,8 @@ def _nv_fused_kernel(params: NewsvendorParams, num_steps, K, chunk,
                                 [du[i] for i in range(n)])
         for i in range(n):
             order_raw = _uniform01(tile) * params.max_order_quantity
-            P, reward = _nv_step_math(params, P, price, cost, h, k,
-                                      order_raw, ds[i])
+            P, reward, _q = _nv_step_math(params, P, price, cost, h, k,
+                                          order_raw, ds[i])
             total = total + (params.gamma ** (t0 + i)) * reward
     rew_ref[0] = total
 
@@ -431,8 +431,8 @@ def _nv_reset_fused_kernel(params: NewsvendorParams, num_steps, K, chunk,
             for e in range(E):
                 order_raw = _uniform01(tile) * params.max_order_quantity
                 price, cost, h, k, _mu = econ[e]
-                P[e], reward = _nv_step_math(params, P[e], price, cost, h, k,
-                                             order_raw, ds[e][i])
+                P[e], reward, _q = _nv_step_math(params, P[e], price, cost,
+                                                 h, k, order_raw, ds[e][i])
                 total[e] = total[e] + (params.gamma ** (t0 + i)) * reward
     for e in range(E):
         rew_ref[e] = total[e]
@@ -590,8 +590,8 @@ def _nv_policy_kernel(params: NewsvendorParams, num_steps, K, chunk,
                     H = H + std_ref[...] * _normal01(H.shape)
                 order_raw = ((jnp.tanh(H[0:1]) + 1.0) * (0.5 * hi)
                              ).reshape(tile)
-                P[e], reward = _nv_step_math(params, P[e], price, cost, h,
-                                             k, order_raw, ds[e][i])
+                P[e], reward, _q = _nv_step_math(params, P[e], price, cost,
+                                                 h, k, order_raw, ds[e][i])
                 total[e] = total[e] + (params.gamma ** (t0 + i)) * reward
                 if dump_streams:
                     acts_ref[(t0 + i) * E + e] = order_raw
@@ -1506,6 +1506,99 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
     return dict(inv=inv.reshape(T + 1, m1, batch),
                 actions=acts.reshape(T, m1, batch),
                 raw=raw.reshape(T, m1, batch),
+                reward=rew.reshape(T, batch),
+                demand=dems.reshape(T, batch))
+
+
+def _nv_traj_kernel(params: NewsvendorParams, num_steps, K, chunk,
+                    precision, n_layers, *refs):
+    """Newsvendor trajectory-emitting rollout: reset econ, per-lane
+    dynamic-mu Poisson demand, stochastic MLP actor — all on-core; dumps
+    econ (5 rows), capped orders, pre-squash raws, UNdiscounted rewards
+    and demand (T rows each). Same design as `_im_traj_kernel`; the obs
+    stream is [econ, pipeline] where pipeline row j at period t is the
+    capped order of period t-L+j (zero before the episode), so
+    (econ, orders) reconstruct it exactly
+    (envs/newsvendor.assemble_obs_from_streams)."""
+    seed_ref = refs[0]
+    Ws_refs = refs[1:1 + n_layers]
+    bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
+    std_ref = refs[1 + 2 * n_layers]
+    econ_ref, ord_ref, raw_ref, rew_ref, dems_ref = refs[2 + 2 * n_layers:]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    tile = rew_ref.shape[1:]
+    L = params.lead_time
+    hi = float(params.max_order_quantity)
+    econ = _nv_econ_from_uniforms(params, _uniform01((5,) + tile))
+    for i in range(5):
+        econ_ref[i] = econ[i]
+    setup = _nv_poisson_setup(params, econ[4])
+    price, cost, h, k, mu = econ
+    P = [jnp.zeros(tile, jnp.float32) for _ in range(L)]
+    for t0 in range(0, num_steps, chunk):
+        n = min(chunk, num_steps - t0)
+        du = _uniform01((n,) + tile)
+        ds = _nv_poisson_invert(*setup, K, [du[i] for i in range(n)])
+        for i in range(n):
+            t = t0 + i
+            obs_rows = [price, cost, h, k, mu] + P
+            H = mlp_forward(Ws_refs, bs_refs, "tanh", precision, obs_rows)
+            H = H + std_ref[...] * _normal01(H.shape)
+            raw_ref[t] = H[0:1].reshape(tile)
+            order_raw = ((jnp.tanh(H[0:1]) + 1.0) * (0.5 * hi)).reshape(tile)
+            P, reward, qty = _nv_step_math(params, P, price, cost, h, k,
+                                           order_raw, ds[i])
+            ord_ref[t] = qty
+            rew_ref[t] = reward            # undiscounted (env semantics)
+            dems_ref[t] = ds[i]
+
+
+def rollout_traj_nv(params: NewsvendorParams, actor, log_std, seed,
+                    batch: int, block: int = 1024, demand_chunk: int = 16,
+                    interpret: bool = False, precision=None):
+    """One full stochastic-policy Newsvendor episode per lane with the
+    training streams written to HBM. Returns a dict: ``econ (5, batch)``,
+    ``orders (T, batch)`` (post-cap order quantities — the obs pipeline
+    stream), ``raw (T, 1, batch)``, ``reward (T, batch)`` (undiscounted,
+    env semantics), ``demand (T, batch)``, all float32. Consumed by
+    ``PPOConfig(rollout="kernel")`` on the newsvendor family."""
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    sub = block // 128
+    T = params.step_limit
+    _Wb, K, _lg = _nv_window(params)
+    Ws, bs = actor
+    kernel = partial(_nv_traj_kernel, params, T, K, demand_chunk,
+                     precision, len(Ws))
+
+    def tspec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_rows = [5, T, T, T, T]
+    Ws2 = [w.T for w in Ws]
+    bs2 = [b.reshape(-1, 1) for b in bs]
+    std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                           -10.0, 2.0)).reshape(-1, 1)
+    econ, orders, raw, rew, dems = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2] + [wspec(std)],
+        out_specs=[tspec(r) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct((r, batch // 128, 128), jnp.float32)
+                   for r in out_rows],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2, std)
+    return dict(econ=econ.reshape(5, batch),
+                orders=orders.reshape(T, batch),
+                raw=raw.reshape(T, 1, batch),
                 reward=rew.reshape(T, batch),
                 demand=dems.reshape(T, batch))
 

@@ -77,6 +77,7 @@ def test_assemble_obs_clamps_negative_requests():
 
 def test_kernel_rollout_config_validation():
     """rollout='kernel' fails loudly off-TPU / off-family / unaligned."""
+    from or_gym_inventory_tpu.envs import net_inv_management as net
     from or_gym_inventory_tpu.envs import newsvendor as nv
     params = im.default_params(periods=8)
     cfg = ppo.PPOConfig(rollout="kernel", num_envs=1024, rollout_steps=8)
@@ -87,12 +88,54 @@ def test_kernel_rollout_config_validation():
     with pytest.raises(ValueError, match="rollout_steps"):
         ppo.make_update_fn(im.ENV, params,
                            cfg.replace(rollout_steps=16), total_updates=1)
-    with pytest.raises(NotImplementedError, match="InvManagement"):
-        ppo.make_update_fn(nv.ENV, nv.default_params(step_limit=8),
+    # newsvendor is a supported family: unaligned raises the alignment
+    # error, not the family error
+    with pytest.raises(ValueError, match="rollout_steps"):
+        ppo.make_update_fn(nv.ENV, nv.default_params(step_limit=6),
+                           cfg, total_updates=1)
+    with pytest.raises(NotImplementedError, match="Newsvendor"):
+        ppo.make_update_fn(net.ENV, net.default_params(num_periods=8),
                            cfg, total_updates=1)
     with pytest.raises(ValueError, match="rollout"):
         ppo.make_update_fn(im.ENV, params,
                            cfg.replace(rollout="nope"), total_updates=1)
+
+
+def test_assemble_nv_obs_matches_env_chain():
+    """newsvendor.assemble_obs_from_streams reproduces the XLA chain's
+    observation stream exactly from (econ, capped orders) — the pipeline
+    row at slot j of period t is the order of period t - L + j."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    params = nv.default_params(step_limit=11, lead_time=5)
+    T, B = params.step_limit, 16
+    rng = np.random.default_rng(2)
+    econ = np.stack([np.full(B, 50.0), np.full(B, 20.0), np.full(B, 2.0),
+                     np.full(B, 5.0), np.full(B, 30.0)]).astype(np.float32)
+    acts = rng.uniform(0, 1500, (T, B)).astype(np.float32)
+    dems = rng.poisson(30, (T, B)).astype(np.float32)
+
+    @jax.jit
+    def run(econ, acts, dems):
+        state, ts0 = jax.vmap(nv.reset_with_econ, in_axes=(None, 1))(
+            params, econ)
+
+        def body(state, inp):
+            a, d = inp
+            state, ts = jax.vmap(nv.step_with_demand,
+                                 in_axes=(None, 0, 0, 0))(params, state,
+                                                          a[:, None], d)
+            return state, ts.obs
+
+        state, obs_seq = jax.lax.scan(body, state, (acts, dems))
+        return jnp.concatenate([ts0.obs[None], obs_seq], axis=0)
+
+    obs_all = np.asarray(run(jnp.asarray(econ), jnp.asarray(acts),
+                             jnp.asarray(dems)))
+    # the capped order of period t is the newest pipeline slot of obs t+1
+    orders = obs_all[1:, :, 5 + params.lead_time - 1]
+    got = np.asarray(nv.assemble_obs_from_streams(
+        params, jnp.asarray(econ), jnp.asarray(orders)))
+    np.testing.assert_allclose(got, obs_all, rtol=0, atol=0)
 
 
 def test_apply_actor_critic_matches_flax():
@@ -175,6 +218,84 @@ def test_traj_kernel_pinned_by_xla_replay():
     assert (a_re == acts.transpose(0, 2, 1)).mean() > 0.999
     # exploration noise is live: distinct lanes act differently
     assert acts.std(axis=-1).mean() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_nv_traj_kernel_pinned_by_xla_replay():
+    """The Newsvendor trajectory kernel: replaying the squashed raw
+    actions + dumped demand through the XLA step_with_demand chain (with
+    the dumped econ) reproduces the dumped rewards and capped orders, and
+    the assembled obs equals the chain's (float env — tolerance-based)."""
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = nv.default_params(step_limit=12)
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    model = ppo._make_model(nv.ENV, params, cfg)
+    obs_dim = nv.ENV.observation_space(params).shape[0]
+    mp = model.init(jax.random.PRNGKey(3),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    rms = rms.update(60.0 + 25.0 * jax.random.normal(
+        jax.random.PRNGKey(4), (256, obs_dim)))
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    log_std = mp["params"]["log_std"]
+    B = 1024
+    tr = pek.rollout_traj_nv(params, actor, log_std,
+                             jnp.asarray(17, jnp.int32), B)
+    hi = float(params.max_order_quantity)
+    acts = (np.tanh(np.asarray(tr["raw"])[:, 0]) + 1.0) * (0.5 * hi)
+
+    @jax.jit
+    def run(econ, acts, dems):
+        state, ts0 = jax.vmap(nv.reset_with_econ, in_axes=(None, 1))(
+            params, econ)
+
+        def body(state, inp):
+            a, d = inp
+            state, ts = jax.vmap(nv.step_with_demand,
+                                 in_axes=(None, 0, 0, 0))(params, state,
+                                                          a[:, None], d)
+            return state, (ts.obs, ts.reward)
+
+        state, (obs_seq, rew) = jax.lax.scan(body, state, (acts, dems))
+        return jnp.concatenate([ts0.obs[None], obs_seq], axis=0), rew
+
+    obs_all, rew = run(tr["econ"], jnp.asarray(acts), tr["demand"])
+    np.testing.assert_allclose(np.asarray(tr["reward"]), np.asarray(rew),
+                               rtol=1e-4, atol=0.5)
+    orders_chain = np.asarray(obs_all)[1:, :, 5 + params.lead_time - 1]
+    np.testing.assert_allclose(np.asarray(tr["orders"]), orders_chain,
+                               rtol=1e-4, atol=0.5)
+    got = np.asarray(nv.assemble_obs_from_streams(
+        params, tr["econ"], tr["orders"]))
+    np.testing.assert_allclose(got, np.asarray(obs_all), rtol=1e-4,
+                               atol=0.5)
+    # noise live: lanes explore differently
+    assert acts.std(axis=-1).mean() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_nv_kernel_ppo_update_runs():
+    from or_gym_inventory_tpu.envs import newsvendor as nv
+    params = nv.default_params(step_limit=12)
+    cfg = ppo.PPOConfig(rollout="kernel", num_envs=1024, rollout_steps=12,
+                        num_minibatches=4, update_epochs=2,
+                        updates_per_call=1)
+    U = 2
+    update = ppo.make_update_fn(nv.ENV, params, cfg, total_updates=U)
+    state = jax.jit(lambda k: ppo.init_train_state(
+        nv.ENV, params, cfg, k, U))(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
+    new_state, ms = chunk(state, jax.random.split(jax.random.PRNGKey(1), U))
+    for k in ("pg_loss", "v_loss", "entropy", "mean_step_reward"):
+        assert np.isfinite(np.asarray(ms[k])).all(), k
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.abs(np.asarray(l1) - np.asarray(l0)).max() > 0
 
 
 @pytest.mark.tpu
