@@ -95,3 +95,24 @@ rets = policy_episode_returns(im_params, actor, jax.random.PRNGKey(4),
                               batch=4096)
 print(f"[policy-eval] 4096 deterministic episodes: "
       f"mean {float(jnp.mean(rets)):.1f}")
+
+# stochastic evaluation (SB3 predict(deterministic=False) semantics):
+# exploration noise from the in-kernel Box-Muller sampler on TPU
+rets_s = policy_episode_returns(
+    im_params, actor, jax.random.PRNGKey(5), batch=4096,
+    deterministic=False, log_std=state.params["params"]["log_std"])
+print(f"[policy-eval] stochastic: mean {float(jnp.mean(rets_s)):.1f}")
+
+# ------------------------------------- 7. kernel-rollout training (TPU only)
+# PPOConfig(rollout="kernel") generates experience through the
+# trajectory-emitting Pallas rollout (episode-aligned; InvManagement and
+# Newsvendor) — 51.8M full-PPO trained-steps/s at 65k envs, ~7x the XLA
+# rollout (PERFORMANCE.md round 5):
+if jax.default_backend() == "tpu":
+    kcfg = ppo.PPOConfig(rollout="kernel", num_envs=1024,
+                         rollout_steps=im_params.periods,
+                         num_minibatches=4)
+    kstate, _ = ppo.train(im.ENV, im_params, kcfg, jax.random.PRNGKey(6),
+                          total_timesteps=1024 * im_params.periods * 5)
+    print(f"[kernel-ppo] {int(kstate.update_idx)} episode-aligned updates "
+          "through the trajectory-emitting kernel rollout")
