@@ -90,10 +90,11 @@ class PPOConfig:
     # PERFORMANCE.md). "kernel": the trajectory-emitting Pallas rollout —
     # one full stochastic-policy episode per lane per update with the MLP
     # actor fused in-kernel and the training streams written to HBM
-    # (ops/pallas_episode_kernels.rollout_traj_im). TPU-only; requires the
-    # InvManagement family, rollout_steps == periods (episode-aligned
-    # updates) and num_envs a multiple of 1024. The learned-policy analogue
-    # of the evaluation engine's fused kernels: experience generation stops
+    # (ops/pallas_episode_kernels.rollout_traj_im / rollout_traj_nv,
+    # ops/pallas_net_step.rollout_traj_net). TPU-only; requires
+    # rollout_steps == the env horizon (episode-aligned updates) and
+    # num_envs a multiple of 1024. The learned-policy analogue of the
+    # evaluation engine's fused kernels: experience generation stops
     # being the learner's bottleneck (PERFORMANCE.md round 5).
     rollout: str = struct.field(pytree_node=False, default="xla")
     # Activation dtype for the kernel-rollout update's forward/backward
@@ -114,7 +115,7 @@ class PPOConfig:
     # (~250k-sample minibatches measured ~2.3x slower per sample than
     # ~60k); chunking keeps the working set on-chip WITHOUT changing the
     # recipe. 0 (default) auto-picks the largest chunk under
-    # ~64k samples; 1 disables.
+    # ~32k samples (the measured sweet spot); 1 disables.
     minibatch_chunks: int = struct.field(pytree_node=False, default=0)
     # Runs that many updates per device call (lax.scan over the update),
     # amortizing the per-call dispatch floor — decisive for SB3-shaped
@@ -287,10 +288,11 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
                          f"{cfg.rollout!r}")
     if cfg.rollout == "kernel":
         fam = getattr(env, "name", None)
-        if fam not in ("inv_management", "newsvendor"):
+        if fam not in ("inv_management", "newsvendor",
+                       "net_inv_management"):
             raise NotImplementedError(
-                "rollout='kernel' currently supports the InvManagement "
-                f"and Newsvendor families (got {fam!r})")
+                "rollout='kernel' supports the InvManagement, Newsvendor "
+                f"and NetInvMgmt families (got {fam!r})")
         horizon = env.horizon(env_params)
         if cfg.rollout_steps != horizon:
             raise ValueError(
@@ -483,11 +485,19 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             tr = rollout_traj_im(env_params, actor, log_std, seed, n_envs)
             obs_all = fam_env.assemble_obs_from_streams(
                 env_params, tr["inv"], tr["actions"])    # (T+1, B, D) i32
-        else:
+        elif env.name == "newsvendor":
             from or_gym_inventory_tpu.envs import newsvendor as fam_env
             tr = rollout_traj_nv(env_params, actor, log_std, seed, n_envs)
             obs_all = fam_env.assemble_obs_from_streams(
                 env_params, tr["econ"], tr["orders"])    # (T+1, B, D) f32
+        else:
+            from or_gym_inventory_tpu.envs import \
+                net_inv_management as fam_env
+            from or_gym_inventory_tpu.ops.pallas_net_step import \
+                rollout_traj_net
+            tr = rollout_traj_net(env_params, actor, log_std, seed, n_envs)
+            obs_all = fam_env.assemble_obs_from_streams(
+                env_params, tr["x"], tr["u"], tr["r"])   # (T+1, B, D) f32
         raw = tr["raw"].transpose(0, 2, 1)               # (T, B, act_dim)
         reward_raw = tr["reward"]                        # (T, B)
 

@@ -128,6 +128,39 @@ def _obs(params: NetInvParams, state: NetInvState) -> jax.Array:
     return jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)
 
 
+def assemble_obs_from_streams(params: NetInvParams, x, u, r):
+    """Reconstruct the full observation stream from rollout streams — the
+    gather form of ``_obs`` over a whole episode (the network-family
+    analogue of inv_management.assemble_obs_from_streams, feeding the PPO
+    update from ops/pallas_net_step.rollout_traj_net).
+
+    ``x`` (T+1, n_main, B) / ``u`` (T+1, n_rt, B) start-of-period node
+    inventories and retail backlogs; ``r`` (T, n_ro, B) fulfilled orders.
+    Returns (T+1, B, obs_dim) f32 where row t == ``_obs`` of the period-t
+    state: U first, then X, then per reorder link i the chronological
+    window ``r[t-L_i .. t-1, i]`` (zeros before the episode; L_i == 0
+    links contribute no rows)."""
+    import numpy as np
+    T = params.topology
+    T1 = x.shape[0]
+    Tn = T1 - 1
+    B = x.shape[2]
+    parts = [jnp.asarray(u, jnp.float32), jnp.asarray(x, jnp.float32)]
+    padded = jnp.concatenate(
+        [jnp.asarray(r, jnp.float32),
+         jnp.zeros((1, T.n_reorder, B), jnp.float32)], axis=0)
+    for i, L in enumerate(T.ro_L):
+        if L == 0:
+            continue
+        idx = np.full((T1, L), Tn, np.int32)
+        for t in range(T1):
+            for j in range(L):
+                if 0 <= t - L + j < Tn:
+                    idx[t, j] = t - L + j
+        parts.append(padded[jnp.asarray(idx), i])     # (T+1, L, B)
+    return jnp.concatenate(parts, axis=1).transpose(0, 2, 1)
+
+
 def _info(params, state):
     return {"period": state.period, "inventory": state.X,
             "pipeline": state.Y, "backlog_start": state.U}

@@ -626,6 +626,129 @@ def episode_returns_net_policy(params: NetInvParams, actor, seed,
     return out.reshape(batch) if E == 1 else out.reshape(E, batch)
 
 
+def _net_traj_kernel(T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha,
+                     act_hi, link_specs, precision, n_layers, *refs):
+    """NetInvMgmt trajectory-emitting rollout (the network-family analogue
+    of ops/pallas_episode_kernels._im_traj_kernel): stochastic MLP actor
+    on the MXU, per-link demand from the compile-time tables, dumping the
+    training streams — start-of-period X/U ((T+1) snapshots), fulfilled
+    orders r_cur, pre-squash raws, alpha^t-discounted rewards (env
+    semantics) and demand."""
+    from or_gym_inventory_tpu.ops.pallas_episode_kernels import (_normal01,
+                                                                 mlp_forward)
+    seed_ref = refs[0]
+    Ws_refs = refs[1:1 + n_layers]
+    bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
+    std_ref = refs[1 + 2 * n_layers]
+    X_ref, Y_ref, U_ref, RH_ref = refs[2 + 2 * n_layers:6 + 2 * n_layers]
+    xo_ref, uo_ref, ro_ref, raw_ref, rew_ref, dem_ref = \
+        refs[6 + 2 * n_layers:]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    X = [X_ref[i] for i in range(n_main)]
+    Y = [Y_ref[i] for i in range(n_ro)]
+    U = [U_ref[i] for i in range(n_rt)]
+    RH = [RH_ref[r] for r in range(lt * n_ro)]
+    tile = X_ref.shape[1:]
+    one = jnp.ones(tile, jnp.float32)
+    for t in range(num_steps):
+        u = _uniform24((n_rt,) + tile)
+        valid = [one if t >= L else jnp.zeros_like(one) for L in T.ro_L]
+        for i in range(n_main):
+            xo_ref[t * n_main + i] = X[i]
+        for j in range(n_rt):
+            uo_ref[t * n_rt + j] = U[j]
+        H = mlp_forward(Ws_refs, bs_refs, "tanh", precision,
+                        _net_obs_rows(T, X, U, RH))
+        H = H + std_ref[...] * _normal01(H.shape)
+        S = (jnp.tanh(H) + 1.0) * (0.5 * act_hi)
+        act = []
+        for i in range(n_ro):
+            raw_ref[t * n_ro + i] = H[i:i + 1].reshape(tile)
+            act.append(S[i:i + 1].reshape(tile))
+        dem = [_link_demand(link_specs[j], u[j], t) for j in range(n_rt)]
+        X, Y, U, r_cur, profit = _step_math(
+            T, backlog, X, Y, U, RH, act, dem, valid)
+        RH = r_cur + RH[: (lt - 1) * n_ro]
+        for i in range(n_ro):
+            ro_ref[t * n_ro + i] = r_cur[i]
+        for j in range(n_rt):
+            dem_ref[t * n_rt + j] = dem[j]
+        rew_ref[t] = (alpha ** t) * profit
+    for i in range(n_main):       # final snapshots: the bootstrap obs
+        xo_ref[num_steps * n_main + i] = X[i]
+    for j in range(n_rt):
+        uo_ref[num_steps * n_rt + j] = U[j]
+
+
+def rollout_traj_net(params: NetInvParams, actor, log_std, seed,
+                     batch: int, block: int = 1024,
+                     interpret: bool = False, precision=None):
+    """One full stochastic-policy network-env episode per lane with the
+    training streams written to HBM. Returns a dict of float32 arrays:
+    ``x (T+1, n_main, batch)`` / ``u (T+1, n_rt, batch)`` start-of-period
+    node inventories and retail backlogs (final snapshots last),
+    ``r (T, n_ro, batch)`` fulfilled orders (the obs window stream),
+    ``raw (T, n_ro, batch)`` pre-squash Gaussian samples,
+    ``reward (T, batch)`` (alpha^t-discounted, env semantics),
+    ``demand (T, n_rt, batch)``. Consumed by
+    ``PPOConfig(rollout="kernel")`` on the network family; raises
+    NotImplementedError for hostfn demand links (loud fallback)."""
+    T_ = params.topology
+    n_main, n_ro, n_rt = T_.n_main, T_.n_reorder, T_.n_retail
+    lt = max(T_.lt_max, 1)
+    num_steps = params.num_periods
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    sub = block // 128
+    link_specs = _topology_link_specs(T_, num_steps)
+    act_hi = float(T_.order_cap_heuristic * 2)
+    Ws, bs = actor
+    kernel = partial(_net_traj_kernel, T_, params.backlog, n_main, n_ro,
+                     n_rt, lt, num_steps, params.alpha, act_hi, link_specs,
+                     precision, len(Ws))
+
+    X, Y, U, RH = init_transposed(params, batch)
+    shape3 = lambda rows: (rows, batch // 128, 128)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_rows = [(num_steps + 1) * n_main, (num_steps + 1) * n_rt,
+                num_steps * n_ro, num_steps * n_ro, num_steps,
+                num_steps * n_rt]
+    Ws2 = [w.T for w in Ws]
+    bs2 = [b.reshape(-1, 1) for b in bs]
+    std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                           -10.0, 2.0)).reshape(-1, 1)
+    xo, uo, ro, raw, rew, dem = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in Ws2] + [wspec(b) for b in bs2] + [wspec(std)]
+        + [spec(n_main), spec(n_ro), spec(n_rt), spec(lt * n_ro)],
+        out_specs=[spec(r) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct(shape3(r), jnp.float32)
+                   for r in out_rows],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *Ws2, *bs2, std,
+      X.reshape(shape3(n_main)), Y.reshape(shape3(n_ro)),
+      U.reshape(shape3(n_rt)), RH.reshape(shape3(lt * n_ro)))
+    Tn = num_steps
+    return dict(x=xo.reshape(Tn + 1, n_main, batch),
+                u=uo.reshape(Tn + 1, n_rt, batch),
+                r=ro.reshape(Tn, n_ro, batch),
+                raw=raw.reshape(Tn, n_ro, batch),
+                reward=rew.reshape(Tn, batch),
+                demand=dem.reshape(Tn, n_rt, batch))
+
+
 def sample_policy_streams_debug_net(params: NetInvParams, actor, seed,
                                     batch: int, block: int = 1024,
                                     interpret: bool = False,

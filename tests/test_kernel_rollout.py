@@ -88,13 +88,13 @@ def test_kernel_rollout_config_validation():
     with pytest.raises(ValueError, match="rollout_steps"):
         ppo.make_update_fn(im.ENV, params,
                            cfg.replace(rollout_steps=16), total_updates=1)
-    # newsvendor is a supported family: unaligned raises the alignment
-    # error, not the family error
+    # newsvendor/net are supported families: unaligned raises the
+    # alignment error, not the family error
     with pytest.raises(ValueError, match="rollout_steps"):
         ppo.make_update_fn(nv.ENV, nv.default_params(step_limit=6),
                            cfg, total_updates=1)
-    with pytest.raises(NotImplementedError, match="Newsvendor"):
-        ppo.make_update_fn(net.ENV, net.default_params(num_periods=8),
+    with pytest.raises(ValueError, match="rollout_steps"):
+        ppo.make_update_fn(net.ENV, net.default_params(num_periods=6),
                            cfg, total_updates=1)
     with pytest.raises(ValueError, match="rollout"):
         ppo.make_update_fn(im.ENV, params,
@@ -218,6 +218,146 @@ def test_traj_kernel_pinned_by_xla_replay():
     assert (a_re == acts.transpose(0, 2, 1)).mean() > 0.999
     # exploration noise is live: distinct lanes act differently
     assert acts.std(axis=-1).mean() > 0
+
+
+def _net_stream_positions(T):
+    """(x_off, window_last_offsets): obs positions of X and of each L>0
+    link's newest window entry (= r_cur of the previous period)."""
+    off = T.n_retail + T.n_main
+    last = {}
+    for i, L in enumerate(T.ro_L):
+        if L == 0:
+            continue
+        last[i] = off + L - 1
+        off += L
+    return T.n_retail, last
+
+
+def test_assemble_net_obs_matches_env_chain():
+    """net_inv_management.assemble_obs_from_streams reproduces the XLA
+    chain's observation stream exactly from the (X, U, r_cur) streams
+    extracted from that same chain."""
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    params = net.default_params(num_periods=9)
+    T_ = params.topology
+    Tn, B = params.num_periods, 8
+    rng = np.random.default_rng(5)
+    acts = rng.uniform(0, 300, (Tn, B, T_.n_reorder)).astype(np.float32)
+    dems = rng.poisson(15, (Tn, T_.n_retail, B)).astype(np.float32)
+
+    @jax.jit
+    def run(acts, dems):
+        state = jax.vmap(lambda _: net.reset(params)[0])(jnp.arange(B))
+        obs0 = jax.vmap(lambda s: net._obs(params, s))(state)
+
+        def body(state, inp):
+            a, d = inp
+            state, ts = jax.vmap(net.step_with_demand,
+                                 in_axes=(None, 0, 0, 1))(params, state, a, d)
+            return state, ts.obs
+
+        state, obs_seq = jax.lax.scan(body, state, (acts, dems))
+        return jnp.concatenate([obs0[None], obs_seq], axis=0)
+
+    obs_all = np.asarray(run(jnp.asarray(acts), jnp.asarray(dems)))
+    n_rt, n_main = T_.n_retail, T_.n_main
+    u = obs_all[:, :, :n_rt].transpose(0, 2, 1)
+    x = obs_all[:, :, n_rt:n_rt + n_main].transpose(0, 2, 1)
+    # r_cur[t, i] = the newest window entry of link i in obs t+1
+    _, last = _net_stream_positions(T_)
+    r = np.zeros((Tn, T_.n_reorder, B), np.float32)
+    for i, pos in last.items():
+        r[:, i, :] = obs_all[1:, :, pos]
+    # links with L == 0 never appear in any obs window; their r values
+    # are irrelevant to the assembly
+    got = np.asarray(net.assemble_obs_from_streams(
+        params, jnp.asarray(x), jnp.asarray(u), jnp.asarray(r)))
+    np.testing.assert_allclose(got, obs_all, rtol=0, atol=0)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_net_traj_kernel_pinned_by_xla_replay():
+    """The network-family trajectory kernel: replaying the squashed raws
+    + dumped demand through the XLA step_with_demand chain reproduces the
+    dumped X/U/r/reward streams (float env — fraction-closeness, as in
+    the NV pin)."""
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    from or_gym_inventory_tpu.ops import pallas_net_step as pns
+    params = net.default_params(num_periods=10)
+    T_ = params.topology
+    cfg = ppo.PPOConfig(pi_arch=(64, 64))
+    model = ppo._make_model(net.ENV, params, cfg)
+    obs_dim = net.ENV.observation_space(params).shape[0]
+    mp = model.init(jax.random.PRNGKey(8),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = ppo.RunningMeanStd.create(obs_dim)
+    rms = rms.update(100.0 + 40.0 * jax.random.normal(
+        jax.random.PRNGKey(9), (256, obs_dim)))
+    actor = pek.fold_actor_params(cfg, mp, rms)
+    log_std = mp["params"]["log_std"]
+    B = 1024
+    tr = pns.rollout_traj_net(params, actor, log_std,
+                              jnp.asarray(29, jnp.int32), B)
+    hi = float(T_.order_cap_heuristic * 2)
+    acts = ((np.tanh(np.asarray(tr["raw"])) + 1.0) * (0.5 * hi)
+            ).transpose(0, 2, 1)                        # (T, B, n_ro)
+
+    @jax.jit
+    def run(acts, dems):
+        state = jax.vmap(lambda _: net.reset(params)[0])(jnp.arange(B))
+        obs0 = jax.vmap(lambda s: net._obs(params, s))(state)
+
+        def body(state, inp):
+            a, d = inp
+            state, ts = jax.vmap(net.step_with_demand,
+                                 in_axes=(None, 0, 0, 1))(params, state, a, d)
+            return state, (ts.obs, ts.reward)
+
+        state, (obs_seq, rew) = jax.lax.scan(body, state, (acts, dems))
+        return jnp.concatenate([obs0[None], obs_seq], axis=0), rew
+
+    obs_all, rew = run(jnp.asarray(acts), tr["demand"])
+    obs_all = np.asarray(obs_all)
+    n_rt, n_main = T_.n_retail, T_.n_main
+
+    def frac_close(a, b):
+        return np.isclose(a, b, rtol=1e-3, atol=2.0).mean()
+
+    assert frac_close(np.asarray(tr["reward"]), np.asarray(rew)) > 0.99
+    assert frac_close(np.asarray(tr["u"]),
+                      obs_all[:, :, :n_rt].transpose(0, 2, 1)) > 0.995
+    assert frac_close(np.asarray(tr["x"]),
+                      obs_all[:, :, n_rt:n_rt + n_main].transpose(0, 2, 1)
+                      ) > 0.995
+    got = np.asarray(net.assemble_obs_from_streams(
+        params, tr["x"], tr["u"], tr["r"]))
+    assert frac_close(got, obs_all) > 0.995
+    assert acts.std(axis=1).mean() > 0  # exploration noise live
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_net_kernel_ppo_update_runs():
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    params = net.default_params(num_periods=10)
+    cfg = ppo.PPOConfig(rollout="kernel", num_envs=1024, rollout_steps=10,
+                        num_minibatches=4, update_epochs=2,
+                        updates_per_call=1)
+    U = 2
+    update = ppo.make_update_fn(net.ENV, params, cfg, total_updates=U)
+    state = jax.jit(lambda k: ppo.init_train_state(
+        net.ENV, params, cfg, k, U))(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
+    new_state, ms = chunk(state, jax.random.split(jax.random.PRNGKey(1), U))
+    for k in ("pg_loss", "v_loss", "entropy", "mean_step_reward"):
+        assert np.isfinite(np.asarray(ms[k])).all(), k
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.abs(np.asarray(l1) - np.asarray(l0)).max() > 0
 
 
 @pytest.mark.tpu

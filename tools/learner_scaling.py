@@ -109,6 +109,11 @@ def shape_cfg(shape, num_envs, horizon):
                              shuffle_minibatches=False, rollout="kernel",
                              compute_dtype="bfloat16",
                              num_envs=num_envs, rollout_steps=horizon)
+    if shape == "a2c_kernel":  # single-pass A2C off the kernel rollout
+        return ppo.PPOConfig(update_epochs=1, num_minibatches=1,
+                             anneal_lr=False, optimizer="rmsprop",
+                             rollout="kernel", num_envs=num_envs,
+                             rollout_steps=horizon)
     raise ValueError(shape)
 
 
