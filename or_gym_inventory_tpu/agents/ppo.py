@@ -204,7 +204,15 @@ def apply_actor_critic(params, obs_f, cfg: PPOConfig, dtype=None):
     vf trunk after log_std, value head last; agents/networks.py), with
     optional low-precision activations: ``dtype='bfloat16'`` casts matmul
     inputs and accumulates f32 (preferred_element_type), leaving params,
-    biases and outputs f32. Returns (mean, log_std, value)."""
+    biases and outputs f32. Returns (mean, log_std, value).
+
+    Precision contract for the kernel-rollout path: logp_old and logp_new
+    are BOTH computed through this function (same precision), so the
+    epoch-0 PPO ratio is exactly 1 by construction. The in-kernel
+    SAMPLING mean (HIGHEST-precision MXU matmuls) can differ from this
+    function's backend-default mean by ~1e-3 relative — a bounded,
+    fixed-scale off-policy-ness the PPO clip absorbs (reward parity
+    across seeds: tools/validate_kernel_ppo.py)."""
     p = params["params"]
     n_pi, n_vf = len(cfg.pi_arch), len(cfg.vf_arch)
     act = {"tanh": jnp.tanh, "relu": jax.nn.relu,
@@ -299,6 +307,12 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
                 "rollout='kernel' runs episode-aligned updates: "
                 f"rollout_steps ({cfg.rollout_steps}) must equal the env "
                 f"horizon ({horizon})")
+        if cfg.num_envs % 1024:
+            raise ValueError(
+                "rollout='kernel' needs num_envs to be a multiple of 1024 "
+                f"(the kernel block size); got {cfg.num_envs}. Under a "
+                "mesh the PER-SHARD env count (num_envs / devices) must "
+                "be a multiple of 1024.")
         if jax.default_backend() != "tpu":
             raise RuntimeError(
                 "rollout='kernel' needs the TPU backend (Pallas episode "
@@ -371,14 +385,20 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
 
         def chunk_count(mb_samples: int) -> int:
             if cfg.minibatch_chunks > 0:
-                k = cfg.minibatch_chunks
+                k0 = cfg.minibatch_chunks
             else:
                 # auto: largest chunk at/below the measured on-chip sweet
                 # spot (~32k samples; larger minibatches spill the fwd/bwd
                 # activations to HBM — PERFORMANCE.md round 5)
-                k = -(-mb_samples // 32768)
-            while mb_samples % k:
+                k0 = -(-mb_samples // 32768)
+            # bounded divisor search: an awkward mb_samples (e.g. a large
+            # prime factor) must degrade to UNCHUNKED, never to a
+            # near-per-sample scan
+            k = k0
+            while k <= 2 * k0 and mb_samples % k:
                 k += 1
+            if k > 2 * k0 or mb_samples % k:
+                return 1
             return min(k, mb_samples)
 
         def minibatch_grads(params, mb):
@@ -583,10 +603,14 @@ def make_update_fn(env: Environment, env_params, cfg: PPOConfig,
             env_state, next_obs = vecenv.auto_reset(
                 env, env_params, env_state, ts, rkey, n_envs)
             # running discounted return (for reward normalization stats)
-            ret_accum = ret_accum * cfg.gamma * (
-                1.0 - ts.done.astype(jnp.float32)) + ts.reward
+            # VecNormalize order (SB3): accumulate THEN record, zero at
+            # episode end AFTER recording — the full-episode discounted
+            # return enters the statistics (the kernel path's acc_step
+            # produces the identical stream for its episode-aligned case)
+            ret_rec = ret_accum * cfg.gamma + ts.reward
+            ret_accum = ret_rec * (1.0 - ts.done.astype(jnp.float32))
             out = dict(obs=obs, raw=raw, logp=logp, value=value,
-                       reward=ts.reward, ret_accum=ret_accum,
+                       reward=ts.reward, ret_accum=ret_rec,
                        done=ts.done, final_obs=ts.obs)
             return (env_state, next_obs, ret_accum, key), out
 

@@ -112,10 +112,12 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
                 env, env_params, env_state, to_env_action(raw), skey, n_envs)
             env_state, next_obs = vecenv.auto_reset(
                 env, env_params, env_state, ts, rkey, n_envs)
-            ret_accum = ret_accum * cfg.gamma * (
-                1.0 - ts.done.astype(jnp.float32)) + ts.reward
+            # VecNormalize order: accumulate THEN record, zero AFTER (the
+            # full-episode return enters the statistics; agents/ppo.py)
+            ret_rec = ret_accum * cfg.gamma + ts.reward
+            ret_accum = ret_rec * (1.0 - ts.done.astype(jnp.float32))
             out = dict(obs=obs, done_in=done, raw=raw, logp=logp, value=value,
-                       reward=ts.reward, ret_accum=ret_accum,
+                       reward=ts.reward, ret_accum=ret_rec,
                        done=ts.done, final_obs=ts.obs)
             return (env_state, next_obs, ts.done, carry, ret_accum, key), out
 

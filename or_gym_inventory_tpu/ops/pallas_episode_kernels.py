@@ -631,9 +631,8 @@ def _nv_policy_call(params, actor, seed, batch, block, demand_chunk,
     Ws2 = [w.T for w in Ws]
     bs2 = [b.reshape(-1, 1) for b in bs]
     extra = []
-    if log_std is not None:               # gaussian_sample's clipped std
-        extra.append(jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
-                                      -10.0, 2.0)).reshape(-1, 1))
+    if log_std is not None:
+        extra.append(clipped_std(log_std))
     return pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -964,6 +963,15 @@ def episode_returns_im_fused(params: InvManagementParams, seed,
 # (rms) is folded into the first layer on host (fold_actor_params), so the
 # kernel sees plain dense layers.
 
+def clipped_std(log_std):
+    """``exp(clip(log_std))`` with networks.gaussian_sample's clip range,
+    shaped (act_dim, 1) for the kernels' lane-broadcast std input — the
+    ONE place the clip constants live on the kernel side (every stochastic
+    policy/trajectory kernel call folds its std through here)."""
+    return jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
+                            -10.0, 2.0)).reshape(-1, 1)
+
+
 def fold_actor_params(cfg, model_params, rms=None):
     """Extract the deterministic actor from a PPO/A2C train state as plain
     (Ws, bs) f32 arrays, with the obs RunningMeanStd normalization folded
@@ -989,19 +997,27 @@ def fold_actor_params(cfg, model_params, rms=None):
     return tuple(Ws), tuple(bs)
 
 
-def apply_folded_actor(actor, obs, low, high, int_actions: bool):
-    """The folded actor as plain XLA ops — the exact math the policy
-    kernels run, for fallback paths and cross-checks: tanh trunk, mean
-    head, networks.squash_action, optional int cast. ``obs`` (B, obs_dim);
-    returns (B, act_dim)."""
-    from or_gym_inventory_tpu.agents import networks
+def folded_actor_mean(actor, obs):
+    """Pre-squash policy mean of a folded actor as plain XLA ops — the
+    shared trunk of every fallback path (deterministic squash in
+    apply_folded_actor, Gaussian sampling in the stochastic fallback).
+    ``obs`` (B, obs_dim); returns (B, act_dim) float32."""
     Ws, bs = actor
     H = obs.astype(jnp.float32)
     for i, (W, b) in enumerate(zip(Ws, bs)):
         H = H @ W + b
         if i < len(Ws) - 1:
             H = jnp.tanh(H)
-    a = networks.squash_action(H, low, high)
+    return H
+
+
+def apply_folded_actor(actor, obs, low, high, int_actions: bool):
+    """The folded actor as plain XLA ops — the exact math the policy
+    kernels run, for fallback paths and cross-checks: tanh trunk, mean
+    head, networks.squash_action, optional int cast. ``obs`` (B, obs_dim);
+    returns (B, act_dim)."""
+    from or_gym_inventory_tpu.agents import networks
+    a = networks.squash_action(folded_actor_mean(actor, obs), low, high)
     return a.astype(jnp.int32) if int_actions else a
 
 
@@ -1146,9 +1162,8 @@ def _im_policy_call(params, actor, seed, batch, block, episodes_per_lane,
     Ws = [w.T for w in Ws]                # kernel wants (out, in)
     bs2 = [b.reshape(-1, 1) for b in bs]  # (out, 1): lane-broadcastable
     extra = []
-    if log_std is not None:               # gaussian_sample's clipped std
-        extra.append(jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
-                                      -10.0, 2.0)).reshape(-1, 1))
+    if log_std is not None:
+        extra.append(clipped_std(log_std))
     outs = pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -1459,8 +1474,10 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
 
     ``actor`` is ``(Ws, bs)`` from ``fold_actor_params`` (obs normalization
     pre-folded); ``log_std`` the trained per-action-dim parameter. Matmuls
-    default to HIGHEST precision (self-consistency of the XLA-recomputed
-    logp with the in-kernel sampling mean). Returns a dict:
+    default to HIGHEST precision (keeps the in-kernel sampling mean as
+    close as Mosaic can get to the XLA-recomputed policy mean; logp_old/
+    logp_new self-consistency holds regardless — see
+    agents.ppo.apply_actor_critic's precision contract). Returns a dict:
     ``inv (T+1, m1, batch) i32``, ``actions (T, m1, batch) i32``,
     ``raw (T, m1, batch) f32``, ``reward (T, batch) f32``,
     ``demand (T, batch) i32``.
@@ -1491,8 +1508,7 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
     out_dt = [jnp.int32, jnp.int32, jnp.float32, jnp.float32, jnp.int32]
     Ws2 = [w.T for w in Ws]
     bs2 = [b.reshape(-1, 1) for b in bs]
-    std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
-                           -10.0, 2.0)).reshape(-1, 1)
+    std = clipped_std(log_std)
     inv, acts, raw, rew, dems = pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -1584,8 +1600,7 @@ def rollout_traj_nv(params: NewsvendorParams, actor, log_std, seed,
     out_rows = [5, T, T, T, T]
     Ws2 = [w.T for w in Ws]
     bs2 = [b.reshape(-1, 1) for b in bs]
-    std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
-                           -10.0, 2.0)).reshape(-1, 1)
+    std = clipped_std(log_std)
     econ, orders, raw, rew, dems = pl.pallas_call(
         kernel,
         grid=(batch // block,),

@@ -589,10 +589,10 @@ def _net_policy_call(params, actor, seed, batch, block, episodes_per_lane,
         out_specs, out_shape = out_specs[0], out_shape[0]
     Ws2 = [w.T for w in Ws]                # kernel wants (out, in)
     bs2 = [b.reshape(-1, 1) for b in bs]   # (out, 1): lane-broadcastable
+    from or_gym_inventory_tpu.ops.pallas_episode_kernels import clipped_std
     extra = []
-    if log_std is not None:                # gaussian_sample's clipped std
-        extra.append(jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
-                                      -10.0, 2.0)).reshape(-1, 1))
+    if log_std is not None:
+        extra.append(clipped_std(log_std))
     return pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -725,8 +725,8 @@ def rollout_traj_net(params: NetInvParams, actor, log_std, seed,
                 num_steps * n_rt]
     Ws2 = [w.T for w in Ws]
     bs2 = [b.reshape(-1, 1) for b in bs]
-    std = jnp.exp(jnp.clip(jnp.asarray(log_std, jnp.float32),
-                           -10.0, 2.0)).reshape(-1, 1)
+    from or_gym_inventory_tpu.ops.pallas_episode_kernels import clipped_std
+    std = clipped_std(log_std)
     xo, uo, ro, raw, rew, dem = pl.pallas_call(
         kernel,
         grid=(batch // block,),

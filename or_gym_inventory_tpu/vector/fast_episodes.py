@@ -165,25 +165,19 @@ def policy_episode_returns(params, actor, key: jax.Array, batch: int,
         import numpy as np
 
         from or_gym_inventory_tpu.agents import networks
-        from or_gym_inventory_tpu.ops.pallas_episode_kernels import \
-            apply_folded_actor
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
+            apply_folded_actor, clipped_std, folded_actor_mean)
         space = env.action_space(params)
         low = jnp.asarray(space.low, jnp.float32)
         high = jnp.asarray(np.where(np.isinf(space.high), 1e4, space.high),
                            jnp.float32)
         int_actions = np.issubdtype(space.dtype, np.integer)
-        std = None if deterministic else jnp.exp(
-            jnp.clip(jnp.asarray(log_std, jnp.float32), -10.0, 2.0))
+        std = None if deterministic else clipped_std(log_std).reshape(-1)
 
         def policy(_s, obs, k, _t):
             if deterministic:
                 return apply_folded_actor(actor, obs, low, high, int_actions)
-            Ws, bs = actor
-            H = obs.astype(jnp.float32)
-            for i, (W, b) in enumerate(zip(Ws, bs)):
-                H = H @ W + b
-                if i < len(Ws) - 1:
-                    H = jnp.tanh(H)
+            H = folded_actor_mean(actor, obs)
             raw = H + std * jax.random.normal(k, H.shape)
             a = networks.squash_action(raw, low, high)
             return a.astype(jnp.int32) if int_actions else a

@@ -145,6 +145,7 @@ class BatchedGymVectorEnv(VectorEnv):
                 # should not have to know that)
                 "_final_obs": done,
                 "_final_info": done,
+                "_final_observation": done,  # mask for the pre-1.0 key
             }
             return (np.asarray(next_obs), np.asarray(ts.reward),
                     np.asarray(ts.terminated), np.asarray(ts.truncated), info)
