@@ -448,6 +448,28 @@ def test_nv_kernel_ppo_update_runs():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_kernel_ppo_trains_under_mesh():
+    """rollout='kernel' composes with the data-parallel shard_map path:
+    the pallas rollout runs per-shard inside the sharded update (a
+    1-device mesh on this container — the composition, seeds-fold and
+    replica-identity machinery are what's under test; multi-chip scaling
+    needs hardware this container doesn't have)."""
+    from or_gym_inventory_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 1  # one attached chip
+    params = im.default_params(periods=12)
+    cfg = ppo.PPOConfig(rollout="kernel", num_envs=1024, rollout_steps=12,
+                        num_minibatches=4, update_epochs=2,
+                        updates_per_call=2)
+    state, metrics = ppo.train(im.ENV, params, cfg, jax.random.PRNGKey(0),
+                               total_timesteps=1024 * 12 * 2, mesh=mesh)
+    assert len(metrics["mean_step_reward"]) == 2
+    assert np.isfinite(metrics["pg_loss"]).all()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 def test_kernel_ppo_update_runs_and_learns_signal():
     """Full kernel-rollout PPO: several episode-aligned updates through
     make_update_fn(rollout='kernel') — finite losses, parameters move,
