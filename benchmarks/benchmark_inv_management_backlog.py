@@ -84,7 +84,19 @@ def build_agents():
         # the reference roster also requests A2C with "MlpLstmPolicy"
         # (benchmark_InvManagementBacklogEnv.py:713)
         ("A2C_LSTM", A2CLSTMAgent(E, pf, config=A2CLSTMConfig(), **rl)),
-    ]
+    ] + ([
+        # OPT-IN extra row (kept out of the canonical reference-protocol
+        # table): PPO through the trajectory-emitting kernel rollout
+        # (TPU only; episode-aligned, 33-69M trained-steps/s —
+        # PERFORMANCE.md round 5). Enable with OGT_KERNEL_ROSTER=1,
+        # typically together with OGT_AGENTS=PPO_Kernel so the canonical
+        # artifacts aren't rewritten.
+        ("PPO_Kernel", PPOAgent(E, pf, name="PPO_Kernel",
+                                config=PPOConfig(
+                                    num_envs=1024, rollout_steps=50,
+                                    num_minibatches=8, update_epochs=4,
+                                    rollout="kernel"), **rl)),
+    ] if os.environ.get("OGT_KERNEL_ROSTER") == "1" else [])
 
 
 if __name__ == "__main__":

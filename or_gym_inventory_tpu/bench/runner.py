@@ -55,10 +55,17 @@ def run_benchmark(env_name_short: str,
         if missing:
             raise SystemExit(f"OGT_AGENTS names not in roster: {sorted(missing)}")
         print(f"Roster restricted via OGT_AGENTS to: {[n for n, _ in agents]}")
-        if results_dir is None:
-            # A subset re-measure must not clobber the full-roster CSVs with
-            # filtered rows; route its artifacts to a sibling directory.
-            results_dir = f"./benchmark_results_{env_name_short}_subset"
+        # A subset re-measure must not clobber the full-roster CSVs with
+        # filtered rows; route its artifacts to a sibling directory — ALSO
+        # when the script passed an explicit results_dir (every benchmark
+        # script does, which used to defeat this guard).
+        base = (results_dir or
+                f"./benchmark_results_{env_name_short}").rstrip("/")
+        subset_dir = base if base.endswith("_subset") else base + "_subset"
+        if results_dir not in (None, subset_dir):
+            print(f"Subset run: artifacts redirected to {subset_dir} "
+                  f"(full-roster CSVs in {results_dir} left untouched)")
+        results_dir = subset_dir
     results_dir = results_dir or f"./benchmark_results_{env_name_short}"
     log_dir = log_dir or f"./logs_{env_name_short}"
 

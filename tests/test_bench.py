@@ -107,6 +107,14 @@ def test_run_benchmark_roster_filter(tmp_path, monkeypatch):
         results_dir=str(tmp_path / "results"), log_dir=str(tmp_path / "logs"),
         make_plots=False)
     assert list(summary.index) == ["Random"]
+    # the subset guard redirects EVEN when results_dir was passed
+    # explicitly (every benchmark script passes one — this used to defeat
+    # the clobber protection): filtered rows land in a sibling _subset
+    # dir and the canonical path stays untouched
+    assert os.path.exists(tmp_path / "results_subset" /
+                          "TestNVF_benchmark_summary.csv")
+    assert not os.path.exists(tmp_path / "results" /
+                              "TestNVF_benchmark_summary.csv")
     monkeypatch.setenv("OGT_AGENTS", "NoSuchAgent")
     with pytest.raises(SystemExit):
         run_benchmark("TestNVF", agents, ad.NewsvendorEnv, {"step_limit": 5},
