@@ -69,6 +69,18 @@ class OffPolicyConfig:
     pi_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
     q_arch: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
     normalize_obs: bool = struct.field(pytree_node=False, default=True)
+    # Experience-collection backend. "xla": one fused policy+env step per
+    # iteration (works everywhere). "kernel": EPISODE-CHUNKED collection
+    # through the trajectory-emitting Pallas rollouts (the off-policy
+    # analogue of PPOConfig(rollout="kernel")): each iteration runs one
+    # full episode per env in-kernel — relu actor trunk on the MXU,
+    # exploration on-core (TD3/DDPG: SB3-style post-squash clipped noise;
+    # SAC: squashed state-dependent Gaussian; warmup: uniform) — inserts
+    # all num_envs*horizon transitions, then runs horizon*updates_per_iter
+    # gradient updates (the SAME update:env-step ratio as the XLA path's
+    # per-step interleave; only the data ordering is chunked). TPU-only;
+    # num_envs % 1024 == 0; buffer_size must hold one collection chunk.
+    collect: str = struct.field(pytree_node=False, default="xla")
 
 
 class _Actor(networks.nn.Module):
@@ -161,6 +173,42 @@ def nstep_aggregate(wrew, wdone, wnext, gamma: float):
     return reward_n, next_obs, done, gamma ** k
 
 
+def episode_transitions(obs_all, a_norm, reward, n_step: int, gamma: float):
+    """Collapse one fixed-horizon episode batch into flat n-step replay
+    transitions, oldest-first (the kernel-collection analogue of the XLA
+    path's rolling ``nstep_aggregate`` window — equivalence pinned by
+    tests/test_kernel_collect.py).
+
+    ``obs_all`` (T+1, B, D) raw observations incl. the final snapshot;
+    ``a_norm`` (T, B, A) normalized actions; ``reward`` (T, B). Episodes
+    are aligned (these envs are fixed-horizon, truncation-only), so the
+    n-step window cuts ONLY at the horizon: with k(t) = min(n, T - t),
+    ``reward_n[t] = sum_{j<k} gamma^j r[t+j]``, ``next_obs[t] =
+    obs[t+k]``, ``done[t] = (t + k == T)`` (the last included transition
+    is the truncation step) and ``disc[t] = gamma^k``. Returns the
+    (T*B, ...) tuple ``(obs, action, reward_n, next_obs, done, disc)``
+    in t-major order (oldest first — ring-buffer recency matches the
+    step-interleaved path)."""
+    T, B = reward.shape
+    n = min(n_step, T)
+    t_idx = np.arange(T)
+    k = np.minimum(n, T - t_idx)
+    rew_pad = jnp.concatenate(
+        [reward, jnp.zeros((n - 1, B), reward.dtype)], 0) \
+        if n > 1 else reward
+    reward_n = sum((gamma ** j) * rew_pad[j:j + T] for j in range(n))
+    next_obs = obs_all[np.minimum(t_idx + n, T)]          # obs[t + k(t)]
+    done = jnp.broadcast_to(
+        jnp.asarray((t_idx + k) == T)[:, None], (T, B))
+    disc = jnp.broadcast_to(
+        jnp.asarray(gamma ** k, jnp.float32)[:, None], (T, B))
+    D = obs_all.shape[-1]
+    A = a_norm.shape[-1]
+    return (obs_all[:T].reshape(T * B, D), a_norm.reshape(T * B, A),
+            reward_n.reshape(T * B), next_obs.reshape(T * B, D),
+            done.reshape(T * B), disc.reshape(T * B))
+
+
 @struct.dataclass
 class OffPolicyState:
     actor_params: dict
@@ -226,6 +274,37 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
         # == networks.squash_action(raw, low, high)
         a = low + (a_norm + 1.0) * 0.5 * (high - low)
         return a.astype(jnp.int32) if int_actions else a
+
+    if cfg.collect not in ("xla", "kernel"):
+        raise ValueError(f"collect must be 'xla' or 'kernel', got "
+                         f"{cfg.collect!r}")
+    if cfg.collect == "kernel":
+        fam = getattr(env, "name", None)
+        if fam not in ("inv_management", "newsvendor", "net_inv_management"):
+            raise NotImplementedError(
+                "collect='kernel' supports the InvManagement, Newsvendor "
+                f"and NetInvMgmt families (got {fam!r})")
+        horizon = env.horizon(env_params)
+        if n_local % 1024:
+            raise ValueError(
+                "collect='kernel' needs num_envs to be a multiple of 1024 "
+                f"(the kernel block size); got {n_local}. Under a mesh the "
+                "PER-SHARD env count (num_envs / devices) must be a "
+                "multiple of 1024.")
+        if cfg.n_step > horizon:
+            raise ValueError(
+                f"collect='kernel' runs episode-aligned collection: n_step "
+                f"({cfg.n_step}) cannot exceed the env horizon ({horizon})")
+        if buffer_local < n_local * horizon:
+            raise ValueError(
+                "collect='kernel' inserts num_envs * horizon transitions "
+                f"per iteration ({n_local} * {horizon} = "
+                f"{n_local * horizon} per shard); buffer_size must hold at "
+                f"least one collection chunk (got {buffer_local} per shard)")
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                "collect='kernel' needs the TPU backend (Pallas trajectory "
+                "kernels); use collect='xla' elsewhere")
 
     def init(key) -> OffPolicyState:
         # params (k1/k2) draw from the caller's key — under a mesh that key
@@ -331,7 +410,39 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
             if cfg.normalize_obs else state.rms
 
         # --------------------------- gradient step ------------------------
-        def one_update(carry, ukey):
+        one_update = _make_one_update(buffer, rms)
+        carry = (state.actor_params, state.q_params, state.target_q_params,
+                 state.target_actor_params, state.log_alpha,
+                 state.actor_opt, state.q_opt, state.alpha_opt)
+        ukeys = jax.random.split(ukey, cfg.updates_per_iter)
+        # uidx drives TD3's delayed policy updates; the XLA path counts
+        # ITERATIONS (every update in one iteration shares the phase —
+        # the original recipe), the kernel path counts gradient updates
+        uidxs = jnp.full((cfg.updates_per_iter,), state.step_idx, jnp.int32)
+        carry, _ = jax.lax.scan(one_update, carry, (ukeys, uidxs))
+        (actor_params, q_params, tq_params, ta_params, log_alpha,
+         actor_opt, q_opt, alpha_opt) = carry
+
+        new_state = OffPolicyState(
+            actor_params=actor_params, q_params=q_params,
+            target_q_params=tq_params, target_actor_params=ta_params,
+            log_alpha=log_alpha, actor_opt=actor_opt, q_opt=q_opt,
+            alpha_opt=alpha_opt, rms=rms, buffer=buffer,
+            env_state=env_state, last_obs=next_obs,
+            step_idx=state.step_idx + 1, window=window)
+        mean_step_reward = jnp.mean(ts.reward)
+        if axis_name is not None:
+            mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)
+        metrics = dict(mean_step_reward=mean_step_reward,
+                       alpha=jnp.exp(log_alpha))
+        return new_state, metrics
+
+    def _make_one_update(buffer, rms):
+        """One critic/actor/alpha gradient step off a buffer sample —
+        shared by both collection backends; scanned over (ukey, uidx)
+        where ``uidx`` gates TD3's delayed policy updates."""
+        def one_update(carry, x):
+            ukey, uidx = x
             (actor_params, q_params, tq_params, ta_params, log_alpha,
              actor_opt, q_opt, alpha_opt) = carry
             mb = buffer.sample(ukey, cfg.batch_size)
@@ -390,7 +501,7 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
                 reg = cfg.pretanh_penalty * qscale * (sat ** 2).mean()
                 return -q1.mean() + reg, jnp.zeros(())
 
-            do_actor = (cfg.algo != "td3") | (state.step_idx % cfg.policy_delay == 0)
+            do_actor = (cfg.algo != "td3") | (uidx % cfg.policy_delay == 0)
             a_grads, logp = jax.grad(actor_loss_fn, has_aux=True)(actor_params)
             if axis_name is not None:
                 a_grads = jax.lax.pmean(a_grads, axis_name)
@@ -417,11 +528,75 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
             return (actor_params, q_params, tq_params, ta_params, log_alpha,
                     actor_opt, q_opt, alpha_opt), None
 
+        return one_update
+
+    # ------------------- kernel collection (TPU, episode-chunked)
+    def update_kernel(state: OffPolicyState, key: jax.Array,
+                      warmup: bool = False):
+        """One episode-chunked off-policy iteration off the
+        trajectory-emitting Pallas rollouts: a full episode per env
+        collected in-kernel (exploration on-core — `traj_policy` modes
+        'det'/'sac'/'uniform'), all ``n_local * horizon`` transitions
+        inserted oldest-first, then ``horizon * updates_per_iter``
+        gradient updates (the XLA path's update:env-step ratio).
+        ``warmup`` is STATIC (two compiled variants): the uniform
+        action_space.sample() phase."""
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
+            fold_offpolicy_actor, rollout_traj_im, rollout_traj_nv)
+        fam = env.name
+        akey, ukey = jax.random.split(key)
+        seed = jax.random.randint(akey, (), 0, 2 ** 31 - 1)
+        actor_f = fold_offpolicy_actor(
+            cfg.pi_arch, state.actor_params,
+            state.rms if cfg.normalize_obs else None, stochastic)
+        mode = "uniform" if warmup else ("sac" if stochastic else "det")
+        # std slot: TD3/DDPG's post-squash noise sigma rides the kernels'
+        # clipped-std input (exp(log(sigma)) roundtrip); SAC's std is
+        # state-dependent (the folded log_std head) — slot unused
+        log_std_arg = jnp.full(
+            (act_dim,),
+            jnp.log(jnp.float32(max(cfg.explore_noise, 1e-8))), jnp.float32)
+        if fam == "inv_management":
+            from or_gym_inventory_tpu.envs import inv_management as fam_env
+            tr = rollout_traj_im(env_params, actor_f, log_std_arg, seed,
+                                 n_local, policy=mode, act_name="relu")
+            obs_all = fam_env.assemble_obs_from_streams(
+                env_params, tr["inv"], tr["actions"]).astype(jnp.float32)
+        elif fam == "newsvendor":
+            from or_gym_inventory_tpu.envs import newsvendor as fam_env
+            tr = rollout_traj_nv(env_params, actor_f, log_std_arg, seed,
+                                 n_local, policy=mode, act_name="relu")
+            obs_all = fam_env.assemble_obs_from_streams(
+                env_params, tr["econ"], tr["orders"]).astype(jnp.float32)
+        else:
+            from or_gym_inventory_tpu.envs import \
+                net_inv_management as fam_env
+            from or_gym_inventory_tpu.ops.pallas_net_step import \
+                rollout_traj_net
+            tr = rollout_traj_net(env_params, actor_f, log_std_arg, seed,
+                                  n_local, policy=mode, act_name="relu")
+            obs_all = fam_env.assemble_obs_from_streams(
+                env_params, tr["x"], tr["u"], tr["r"]).astype(jnp.float32)
+        a_norm = tr["raw"].transpose(0, 2, 1)            # (T, B, act_dim)
+        reward = tr["reward"]                            # (T, B)
+        T_h = reward.shape[0]
+
+        buffer = state.buffer.insert(*episode_transitions(
+            obs_all, a_norm, reward, cfg.n_step, cfg.gamma))
+        rms = state.rms.update(obs_all[:T_h].reshape(-1, obs_all.shape[-1]),
+                               axis_name) if cfg.normalize_obs else state.rms
+
+        one_update = _make_one_update(buffer, rms)
+        n_upd = T_h * cfg.updates_per_iter
         carry = (state.actor_params, state.q_params, state.target_q_params,
                  state.target_actor_params, state.log_alpha,
                  state.actor_opt, state.q_opt, state.alpha_opt)
-        ukeys = jax.random.split(ukey, cfg.updates_per_iter)
-        carry, _ = jax.lax.scan(one_update, carry, ukeys)
+        ukeys = jax.random.split(ukey, n_upd)
+        # TD3's policy delay counts GRADIENT updates here (truer to the
+        # algorithm than the XLA path's per-iteration phase — documented
+        # recipe difference of the chunked collection)
+        uidxs = state.step_idx * n_upd + jnp.arange(n_upd, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(one_update, carry, (ukeys, uidxs))
         (actor_params, q_params, tq_params, ta_params, log_alpha,
          actor_opt, q_opt, alpha_opt) = carry
 
@@ -430,9 +605,9 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
             target_q_params=tq_params, target_actor_params=ta_params,
             log_alpha=log_alpha, actor_opt=actor_opt, q_opt=q_opt,
             alpha_opt=alpha_opt, rms=rms, buffer=buffer,
-            env_state=env_state, last_obs=next_obs,
-            step_idx=state.step_idx + 1, window=window)
-        mean_step_reward = jnp.mean(ts.reward)
+            env_state=state.env_state, last_obs=state.last_obs,
+            step_idx=state.step_idx + 1, window=state.window)
+        mean_step_reward = jnp.mean(reward)
         if axis_name is not None:
             mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)
         metrics = dict(mean_step_reward=mean_step_reward,
@@ -445,7 +620,8 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
         mean, _ = actor.apply(params, nobs)
         return to_env_action(jnp.tanh(mean))
 
-    return init, update, eval_policy
+    return init, (update_kernel if cfg.collect == "kernel" else update), \
+        eval_policy
 
 
 def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
@@ -455,10 +631,13 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
     iterations (scan) with metrics surfaced every ``log_every`` iters.
 
     ``log_every`` is clamped to the iteration budget and the final chunk is
-    ragged, so training runs EXACTLY ``total_timesteps // num_envs``
-    iterations (no rounding up to a chunk multiple). The scan length is
-    carried by the key array's leading dim, so at most two program shapes
-    compile (full chunk + ragged tail).
+    ragged, so training runs EXACTLY ``total_timesteps // steps_per_iter``
+    iterations, where an iteration covers ``num_envs`` env steps
+    (collect="xla") or ``num_envs * horizon`` (collect="kernel",
+    episode-chunked). The scan length is carried by the key array's
+    leading dim, so at most two program shapes compile per phase (full
+    chunk + ragged tail; the kernel path's uniform-action warmup is its
+    own phase).
 
     With ``mesh``, the env batch + replay buffer shard over ``axis_name``
     (data parallel over ICI); params replicate and gradients pmean — the
@@ -466,19 +645,24 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
     """
     from jax.sharding import PartitionSpec as P
 
+    kernel_mode = cfg.collect == "kernel"
     if mesh is None:
         init, update, eval_policy = make_offpolicy(env, env_params, cfg)
         init_jit = jax.jit(init)
 
-        def chunk(state, keys):
-            def body(carry, k):
-                state = carry
-                state, metrics = update(state, k)
-                return state, metrics
-            state, metrics = jax.lax.scan(body, state, keys)
-            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+        def make_runner(upd):
+            def chunk(state, keys):
+                def body(carry, k):
+                    state = carry
+                    state, metrics = upd(state, k)
+                    return state, metrics
+                state, metrics = jax.lax.scan(body, state, keys)
+                return state, jax.tree_util.tree_map(jnp.mean, metrics)
+            return jax.jit(chunk)
 
-        run_chunk = jax.jit(chunk)
+        run_chunk = make_runner(update)
+        run_chunk_warm = make_runner(
+            lambda s, k: update(s, k, warmup=True)) if kernel_mode else None
 
         def chunk_keys(ckey, n):
             return jax.random.split(ckey, n)
@@ -509,23 +693,28 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
                                 out_specs=state_spec, check_vma=False)
         state = jax.jit(init_fn)(key)
 
-        def sharded_chunk(state, keys):
-            # keys block is (n, 1[, 2]): this shard's per-iteration stream
-            ks = keys[:, 0]
+        def make_runner(upd):
+            def sharded_chunk(state, keys):
+                # keys block is (n, 1[, 2]): this shard's per-iteration
+                # stream
+                ks = keys[:, 0]
 
-            def body(carry, k):
-                state = carry
-                state, metrics = update(state, k)
-                return state, metrics
+                def body(carry, k):
+                    state = carry
+                    state, metrics = upd(state, k)
+                    return state, metrics
 
-            state, metrics = jax.lax.scan(body, state, ks)
-            return state, jax.tree_util.tree_map(jnp.mean, metrics)
+                state, metrics = jax.lax.scan(body, state, ks)
+                return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-        run_chunk_sm = jax.shard_map(
-            sharded_chunk, mesh=mesh,
-            in_specs=(state_spec, P(None, axis_name)),
-            out_specs=(state_spec, P()), check_vma=False)
-        run_chunk = jax.jit(run_chunk_sm)
+            return jax.jit(jax.shard_map(
+                sharded_chunk, mesh=mesh,
+                in_specs=(state_spec, P(None, axis_name)),
+                out_specs=(state_spec, P()), check_vma=False))
+
+        run_chunk = make_runner(update)
+        run_chunk_warm = make_runner(
+            lambda s, k: update(s, k, warmup=True)) if kernel_mode else None
 
         def chunk_keys(ckey, n):
             n_dev = mesh.devices.size
@@ -533,17 +722,29 @@ def train(env: Environment, env_params, cfg: OffPolicyConfig, key: jax.Array,
             # old-style keys carry a trailing (2,) uint32 dim; keep it
             return ks.reshape(n, n_dev, *ks.shape[1:])
 
-    n_iters = max(1, total_timesteps // cfg.num_envs)
+    # kernel collection is episode-chunked: each iteration covers a whole
+    # horizon per env, and the uniform-action warmup phase (start_steps)
+    # runs as separate statically-compiled iterations up front
+    steps_per_iter = cfg.num_envs * (env.horizon(env_params)
+                                     if kernel_mode else 1)
+    n_iters = max(1, total_timesteps // steps_per_iter)
+    warm_iters = min(n_iters, -(-cfg.start_steps // steps_per_iter)) \
+        if kernel_mode and cfg.start_steps > 0 else 0
     log_every = max(1, min(log_every, n_iters))
     metrics_log = []
     done_iters = 0
     while done_iters < n_iters:
         n = min(log_every, n_iters - done_iters)
+        if done_iters < warm_iters:
+            n = min(n, warm_iters - done_iters)
+            runner = run_chunk_warm
+        else:
+            runner = run_chunk
         key, ckey = jax.random.split(key)
-        state, metrics = run_chunk(state, chunk_keys(ckey, n))
+        state, metrics = runner(state, chunk_keys(ckey, n))
         done_iters += n
         m = {k: float(v) for k, v in metrics.items()}
-        m["timesteps"] = done_iters * cfg.num_envs
+        m["timesteps"] = done_iters * steps_per_iter
         metrics_log.append(m)
         if progress:
             progress(m, state)
@@ -600,8 +801,10 @@ class OffPolicyAgent(BaseAgent):
     def load(self, path: str):
         if self.env_params is None:
             self.env_params = self.params_factory()
-        init, _, eval_policy = make_offpolicy(self.env, self.env_params,
-                                              self.config)
+        # eval/init don't depend on the collection backend; collect="xla"
+        # keeps kernel-trained checkpoints loadable off-TPU
+        init, _, eval_policy = make_offpolicy(
+            self.env, self.env_params, self.config.replace(collect="xla"))
         tmpl = jax.jit(init)(jax.random.PRNGKey(self.seed))
         payload = {"actor": tmpl.actor_params,
                    "rms": dict(mean=tmpl.rms.mean, var=tmpl.rms.var,
@@ -635,8 +838,8 @@ class OffPolicyAgent(BaseAgent):
         best = {"reward": -np.inf, "actor": None, "rms": None}
         progress = None
         if self.eval_every_chunks > 0:
-            _, _, eval_pol = make_offpolicy(self.env, self.env_params,
-                                            self.config)
+            _, _, eval_pol = make_offpolicy(
+                self.env, self.env_params, self.config.replace(collect="xla"))
             chunk_counter = {"n": 0}
 
             def progress(m, st):
@@ -703,8 +906,9 @@ class OffPolicyAgent(BaseAgent):
         return np.asarray(a[0]).astype(env.action_space.dtype)
 
     def device_policy(self, env, params):
-        _, _, eval_policy = make_offpolicy(self.env,
-                                           self.env_params or params, self.config)
+        _, _, eval_policy = make_offpolicy(
+            self.env, self.env_params or params,
+            self.config.replace(collect="xla"))
         ps = (self.state.actor_params, self.state.rms)
         return lambda _s, obs, key, t: eval_policy(ps, obs, key, t)
 

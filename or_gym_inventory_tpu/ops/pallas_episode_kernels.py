@@ -997,6 +997,90 @@ def fold_actor_params(cfg, model_params, rms=None):
     return tuple(Ws), tuple(bs)
 
 
+def fold_offpolicy_actor(pi_arch, actor_params, rms=None,
+                         stochastic: bool = False):
+    """Extract the off-policy actor (agents/off_policy._Actor: relu trunk,
+    mean head, and for SAC a state-dependent log_std head) as plain
+    (Ws, bs) f32 arrays for the trajectory kernels, with the obs
+    RunningMeanStd normalization folded into the first layer exactly as
+    ``fold_actor_params`` does. For ``stochastic`` (SAC) the mean and
+    log_std heads are CONCATENATED into one output matmul — the kernel's
+    ``traj_policy('sac', ...)`` splits the 2*act_dim rows back apart —
+    so the trunk runs once, as in ``_Actor.__call__``."""
+    p = actor_params["params"]
+    n_pi = len(pi_arch)
+    Ws, bs = [], []
+    for i in range(n_pi):
+        d = p[f"Dense_{i}"]
+        Ws.append(jnp.asarray(d["kernel"], jnp.float32))
+        bs.append(jnp.asarray(d["bias"], jnp.float32))
+    mean_h = p[f"Dense_{n_pi}"]
+    W_out = jnp.asarray(mean_h["kernel"], jnp.float32)
+    b_out = jnp.asarray(mean_h["bias"], jnp.float32)
+    if stochastic:
+        ls_h = p[f"Dense_{n_pi + 1}"]
+        W_out = jnp.concatenate(
+            [W_out, jnp.asarray(ls_h["kernel"], jnp.float32)], axis=1)
+        b_out = jnp.concatenate(
+            [b_out, jnp.asarray(ls_h["bias"], jnp.float32)], axis=0)
+    Ws.append(W_out)
+    bs.append(b_out)
+    if rms is not None:
+        invstd = 1.0 / jnp.sqrt(jnp.asarray(rms.var, jnp.float32) + 1e-8)
+        mu = jnp.asarray(rms.mean, jnp.float32)
+        bs[0] = bs[0] - (mu * invstd) @ Ws[0]
+        Ws[0] = Ws[0] * invstd[:, None]
+    return tuple(Ws), tuple(bs)
+
+
+def traj_policy(mode, act_name, act_dim, Ws_refs, bs_refs, std_ref,
+                precision, obs_rows):
+    """In-kernel policy head shared by the trajectory-emitting rollouts
+    (`_im_traj_kernel` / `_nv_traj_kernel` / pallas_net_step's
+    `_net_traj_kernel`). Returns ``(store, a_norm)``, each (act_dim, n)
+    over the flattened tile: ``store`` is the per-action stream the
+    kernel dumps to HBM, ``a_norm`` the normalized [-1, 1] action the env
+    consumes via ``low + (a_norm + 1) * 0.5 * (high - low)``.
+
+    Modes (PRNG consumption is mode-consistent; streams-debug replays fix
+    one mode at a time):
+      - ``'ppo'``: pre-squash Gaussian on the tanh-trunk mean
+        (networks.gaussian_sample semantics) — store the RAW sample for
+        logp recomputation; ``a_norm = tanh(raw)``. Bit-identical to the
+        original inline code of the three kernels.
+      - ``'det'``: TD3/DDPG collection — deterministic mean, tanh-squash,
+        then CLIPPED exploration noise in normalized action space
+        (``std_ref`` carries the sigma; SB3 post-squash convention,
+        agents/off_policy.update's collect phase); store ``a_norm``.
+      - ``'sac'``: squashed state-dependent Gaussian — the output matmul
+        carries 2*act_dim rows (mean ‖ log_std, `fold_offpolicy_actor`),
+        ``raw = mean + exp(clip(ls)) * eps``, ``a_norm = tanh(raw)``;
+        store ``a_norm`` (SAC recomputes logp from the buffer itself).
+      - ``'uniform'``: warmup — uniform a_norm in [-1, 1] (SB3's
+        action_space.sample() phase); the actor weights are unused.
+    """
+    if mode == "uniform":
+        n = 1
+        for s in obs_rows[0].shape:
+            n *= s
+        a = 2.0 * _uniform01((act_dim, n)) - 1.0
+        return a, a
+    H = mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows)
+    if mode == "ppo":
+        H = H + std_ref[...] * _normal01(H.shape)
+        return H, jnp.tanh(H)
+    if mode == "det":
+        a = jnp.clip(jnp.tanh(H) + std_ref[...] * _normal01(H.shape),
+                     -1.0, 1.0)
+        return a, a
+    if mode == "sac":
+        mean, ls = H[:act_dim], H[act_dim:]
+        std = jnp.exp(jnp.clip(ls, -10.0, 2.0))
+        a = jnp.tanh(mean + std * _normal01(mean.shape))
+        return a, a
+    raise ValueError(f"unknown traj_policy mode {mode!r}")
+
+
 def folded_actor_mean(actor, obs):
     """Pre-squash policy mean of a folded actor as plain XLA ops — the
     shared trunk of every fallback path (deterministic squash in
@@ -1425,7 +1509,7 @@ def sample_lstm_streams_debug_im(params: InvManagementParams, actor, seed,
 # (reference benchmark_InvManagementBacklogEnv.py:298).
 
 def _im_traj_kernel(params: InvManagementParams, num_steps, spec, act_name,
-                    precision, n_layers, *refs):
+                    policy_mode, precision, n_layers, *refs):
     seed_ref = refs[0]
     Ws_refs = refs[1:1 + n_layers]
     bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
@@ -1447,12 +1531,12 @@ def _im_traj_kernel(params: InvManagementParams, num_steps, spec, act_name,
         for i in range(m1):
             inv_ref[t * m1 + i] = inv[i]
         obs_rows = _im_obs_rows(params, t, inv, AH)
-        H = mlp_forward(Ws_refs, bs_refs, act_name, precision, obs_rows)
-        H = H + std_ref[...] * _normal01(H.shape)
-        S = jnp.tanh(H) + 1.0
+        store, a_norm = traj_policy(policy_mode, act_name, m1, Ws_refs,
+                                    bs_refs, std_ref, precision, obs_rows)
+        S = a_norm + 1.0
         acts = []
         for i in range(m1):
-            raw_ref[t * m1 + i] = H[i:i + 1].reshape(tile)
+            raw_ref[t * m1 + i] = store[i:i + 1].reshape(tile)
             a = (S[i:i + 1] * (0.5 * float(params.c[i]))
                  ).astype(jnp.int32).reshape(tile)
             acts_ref[t * m1 + i] = a
@@ -1468,7 +1552,8 @@ def _im_traj_kernel(params: InvManagementParams, num_steps, spec, act_name,
 
 def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
                     batch: int, block: int = 1024, interpret: bool = False,
-                    precision=None):
+                    precision=None, policy: str = "ppo",
+                    act_name: str = "tanh"):
     """One full stochastic-policy episode per lane with the training
     streams written to HBM (see the section comment above).
 
@@ -1483,7 +1568,15 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
     ``demand (T, batch) i32``.
     Pinned on hardware by tests/test_kernel_rollout.py: the dumped
     action/demand streams replay through the XLA step_with_demand chain
-    (obs, rewards, final inventory — bit-exact int state)."""
+    (obs, rewards, final inventory — bit-exact int state).
+
+    ``policy``/``act_name`` select the in-kernel policy head
+    (`traj_policy`): the default ``("ppo", "tanh")`` is the PPO/A2C
+    recipe; ``("det"|"sac"|"uniform", "relu")`` are the off-policy
+    collection modes (agents/off_policy, OffPolicyConfig(collect=
+    "kernel")), where the dumped ``raw`` stream holds the NORMALIZED
+    [-1, 1] actions the replay buffer stores instead of pre-squash
+    samples."""
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -1492,8 +1585,8 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
     m1 = params.m1
     Ws, bs = actor
     spec = _im_demand_spec(params)
-    kernel = partial(_im_traj_kernel, params, T, spec, "tanh", precision,
-                     len(Ws))
+    kernel = partial(_im_traj_kernel, params, T, spec, act_name, policy,
+                     precision, len(Ws))
 
     def tspec(rows):
         return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
@@ -1527,7 +1620,7 @@ def rollout_traj_im(params: InvManagementParams, actor, log_std, seed,
 
 
 def _nv_traj_kernel(params: NewsvendorParams, num_steps, K, chunk,
-                    precision, n_layers, *refs):
+                    act_name, policy_mode, precision, n_layers, *refs):
     """Newsvendor trajectory-emitting rollout: reset econ, per-lane
     dynamic-mu Poisson demand, stochastic MLP actor — all on-core; dumps
     econ (5 rows), capped orders, pre-squash raws, UNdiscounted rewards
@@ -1558,10 +1651,11 @@ def _nv_traj_kernel(params: NewsvendorParams, num_steps, K, chunk,
         for i in range(n):
             t = t0 + i
             obs_rows = [price, cost, h, k, mu] + P
-            H = mlp_forward(Ws_refs, bs_refs, "tanh", precision, obs_rows)
-            H = H + std_ref[...] * _normal01(H.shape)
-            raw_ref[t] = H[0:1].reshape(tile)
-            order_raw = ((jnp.tanh(H[0:1]) + 1.0) * (0.5 * hi)).reshape(tile)
+            store, a_norm = traj_policy(policy_mode, act_name, 1, Ws_refs,
+                                        bs_refs, std_ref, precision,
+                                        obs_rows)
+            raw_ref[t] = store[0:1].reshape(tile)
+            order_raw = ((a_norm[0:1] + 1.0) * (0.5 * hi)).reshape(tile)
             P, reward, qty = _nv_step_math(params, P, price, cost, h, k,
                                            order_raw, ds[i])
             ord_ref[t] = qty
@@ -1571,13 +1665,17 @@ def _nv_traj_kernel(params: NewsvendorParams, num_steps, K, chunk,
 
 def rollout_traj_nv(params: NewsvendorParams, actor, log_std, seed,
                     batch: int, block: int = 1024, demand_chunk: int = 16,
-                    interpret: bool = False, precision=None):
+                    interpret: bool = False, precision=None,
+                    policy: str = "ppo", act_name: str = "tanh"):
     """One full stochastic-policy Newsvendor episode per lane with the
     training streams written to HBM. Returns a dict: ``econ (5, batch)``,
     ``orders (T, batch)`` (post-cap order quantities — the obs pipeline
     stream), ``raw (T, 1, batch)``, ``reward (T, batch)`` (undiscounted,
     env semantics), ``demand (T, batch)``, all float32. Consumed by
-    ``PPOConfig(rollout="kernel")`` on the newsvendor family."""
+    ``PPOConfig(rollout="kernel")`` on the newsvendor family;
+    ``policy``/``act_name`` select the in-kernel policy head
+    (`traj_policy` — off-policy collection modes dump the normalized
+    [-1, 1] action stream in the ``raw`` slot)."""
     assert batch % block == 0 and block % 1024 == 0, (batch, block)
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -1586,7 +1684,7 @@ def rollout_traj_nv(params: NewsvendorParams, actor, log_std, seed,
     _Wb, K, _lg = _nv_window(params)
     Ws, bs = actor
     kernel = partial(_nv_traj_kernel, params, T, K, demand_chunk,
-                     precision, len(Ws))
+                     act_name, policy, precision, len(Ws))
 
     def tspec(rows):
         return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),

@@ -627,15 +627,15 @@ def episode_returns_net_policy(params: NetInvParams, actor, seed,
 
 
 def _net_traj_kernel(T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha,
-                     act_hi, link_specs, precision, n_layers, *refs):
+                     act_hi, link_specs, act_name, policy_mode, precision,
+                     n_layers, *refs):
     """NetInvMgmt trajectory-emitting rollout (the network-family analogue
     of ops/pallas_episode_kernels._im_traj_kernel): stochastic MLP actor
     on the MXU, per-link demand from the compile-time tables, dumping the
     training streams — start-of-period X/U ((T+1) snapshots), fulfilled
     orders r_cur, pre-squash raws, alpha^t-discounted rewards (env
     semantics) and demand."""
-    from or_gym_inventory_tpu.ops.pallas_episode_kernels import (_normal01,
-                                                                 mlp_forward)
+    from or_gym_inventory_tpu.ops.pallas_episode_kernels import traj_policy
     seed_ref = refs[0]
     Ws_refs = refs[1:1 + n_layers]
     bs_refs = refs[1 + n_layers:1 + 2 * n_layers]
@@ -657,13 +657,13 @@ def _net_traj_kernel(T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha,
             xo_ref[t * n_main + i] = X[i]
         for j in range(n_rt):
             uo_ref[t * n_rt + j] = U[j]
-        H = mlp_forward(Ws_refs, bs_refs, "tanh", precision,
-                        _net_obs_rows(T, X, U, RH))
-        H = H + std_ref[...] * _normal01(H.shape)
-        S = (jnp.tanh(H) + 1.0) * (0.5 * act_hi)
+        store, a_norm = traj_policy(policy_mode, act_name, n_ro, Ws_refs,
+                                    bs_refs, std_ref, precision,
+                                    _net_obs_rows(T, X, U, RH))
+        S = (a_norm + 1.0) * (0.5 * act_hi)
         act = []
         for i in range(n_ro):
-            raw_ref[t * n_ro + i] = H[i:i + 1].reshape(tile)
+            raw_ref[t * n_ro + i] = store[i:i + 1].reshape(tile)
             act.append(S[i:i + 1].reshape(tile))
         dem = [_link_demand(link_specs[j], u[j], t) for j in range(n_rt)]
         X, Y, U, r_cur, profit = _step_math(
@@ -682,7 +682,8 @@ def _net_traj_kernel(T, backlog, n_main, n_ro, n_rt, lt, num_steps, alpha,
 
 def rollout_traj_net(params: NetInvParams, actor, log_std, seed,
                      batch: int, block: int = 1024,
-                     interpret: bool = False, precision=None):
+                     interpret: bool = False, precision=None,
+                     policy: str = "ppo", act_name: str = "tanh"):
     """One full stochastic-policy network-env episode per lane with the
     training streams written to HBM. Returns a dict of float32 arrays:
     ``x (T+1, n_main, batch)`` / ``u (T+1, n_rt, batch)`` start-of-period
@@ -692,7 +693,10 @@ def rollout_traj_net(params: NetInvParams, actor, log_std, seed,
     ``reward (T, batch)`` (alpha^t-discounted, env semantics),
     ``demand (T, n_rt, batch)``. Consumed by
     ``PPOConfig(rollout="kernel")`` on the network family; raises
-    NotImplementedError for hostfn demand links (loud fallback)."""
+    NotImplementedError for hostfn demand links (loud fallback).
+    ``policy``/``act_name`` select the in-kernel policy head
+    (pallas_episode_kernels.traj_policy — off-policy collection modes
+    dump the normalized [-1, 1] action stream in the ``raw`` slot)."""
     T_ = params.topology
     n_main, n_ro, n_rt = T_.n_main, T_.n_reorder, T_.n_retail
     lt = max(T_.lt_max, 1)
@@ -706,7 +710,7 @@ def rollout_traj_net(params: NetInvParams, actor, log_std, seed,
     Ws, bs = actor
     kernel = partial(_net_traj_kernel, T_, params.backlog, n_main, n_ro,
                      n_rt, lt, num_steps, params.alpha, act_hi, link_specs,
-                     precision, len(Ws))
+                     act_name, policy, precision, len(Ws))
 
     X, Y, U, RH = init_transposed(params, batch)
     shape3 = lambda rows: (rows, batch // 128, 128)
