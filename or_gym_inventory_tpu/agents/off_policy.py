@@ -556,16 +556,26 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
         log_std_arg = jnp.full(
             (act_dim,),
             jnp.log(jnp.float32(max(cfg.explore_noise, 1e-8))), jnp.float32)
+        # DEFAULT (bf16-class) matmul precision: unlike the PPO rollout
+        # (which pins HIGHEST for logp self-consistency), off-policy
+        # recomputes everything from the buffer — no consistency
+        # constraint, the exploration policy is statistically identical —
+        # and the ~3x smaller Mosaic program keeps SB3-default 256-wide
+        # actors inside the relay compile-helper's envelope at multi-tile
+        # grids (256x256 @ HIGHEST crashed it at num_envs >= 2048)
+        prec = jax.lax.Precision.DEFAULT
         if fam == "inv_management":
             from or_gym_inventory_tpu.envs import inv_management as fam_env
             tr = rollout_traj_im(env_params, actor_f, log_std_arg, seed,
-                                 n_local, policy=mode, act_name="relu")
+                                 n_local, policy=mode, act_name="relu",
+                                 precision=prec)
             obs_all = fam_env.assemble_obs_from_streams(
                 env_params, tr["inv"], tr["actions"]).astype(jnp.float32)
         elif fam == "newsvendor":
             from or_gym_inventory_tpu.envs import newsvendor as fam_env
             tr = rollout_traj_nv(env_params, actor_f, log_std_arg, seed,
-                                 n_local, policy=mode, act_name="relu")
+                                 n_local, policy=mode, act_name="relu",
+                                 precision=prec)
             obs_all = fam_env.assemble_obs_from_streams(
                 env_params, tr["econ"], tr["orders"]).astype(jnp.float32)
         else:
@@ -574,7 +584,8 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
             from or_gym_inventory_tpu.ops.pallas_net_step import \
                 rollout_traj_net
             tr = rollout_traj_net(env_params, actor_f, log_std_arg, seed,
-                                  n_local, policy=mode, act_name="relu")
+                                  n_local, policy=mode, act_name="relu",
+                                  precision=prec)
             obs_all = fam_env.assemble_obs_from_streams(
                 env_params, tr["x"], tr["u"], tr["r"]).astype(jnp.float32)
         a_norm = tr["raw"].transpose(0, 2, 1)            # (T, B, act_dim)

@@ -262,6 +262,53 @@ def test_nv_collect_kernel_streams():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+def test_net_collect_kernel_pinned_by_xla_replay():
+    """Network-family det-mode collection: the dumped a_norm stream maps
+    to the env-consumed orders, and replaying (orders, demand) through
+    the XLA step_with_demand chain reproduces the dumped X/U/reward
+    streams (float env — fraction-closeness, as in the PPO-mode pin)."""
+    from or_gym_inventory_tpu.envs import net_inv_management as net
+    from or_gym_inventory_tpu.ops import pallas_net_step as pns
+    params = net.default_params(num_periods=10)
+    T_ = params.topology
+    actor, act_dim = _offpolicy_actor(net.ENV, params, False, seed=5)
+    log_std = jnp.full((act_dim,), jnp.log(0.1), jnp.float32)
+    B = 1024
+    tr = pns.rollout_traj_net(params, actor, log_std,
+                              jnp.asarray(53, jnp.int32), B,
+                              policy="det", act_name="relu")
+    a_norm = np.asarray(tr["raw"])
+    assert a_norm.min() >= -1.0 and a_norm.max() <= 1.0
+    hi = float(T_.order_cap_heuristic * 2)
+    acts = ((a_norm + 1.0) * (0.5 * hi)).transpose(0, 2, 1)  # (T, B, n_ro)
+
+    @jax.jit
+    def run(acts, dems):
+        state = jax.vmap(lambda _: net.reset(params)[0])(jnp.arange(B))
+        obs0 = jax.vmap(lambda s: net._obs(params, s))(state)
+
+        def body(state, inp):
+            a, d = inp
+            state, ts = jax.vmap(net.step_with_demand,
+                                 in_axes=(None, 0, 0, 1))(params, state, a,
+                                                          d)
+            return state, ts.reward
+
+        state, rew = jax.lax.scan(body, state, (acts, dems))
+        return obs0, rew
+
+    _, rew = run(jnp.asarray(acts), tr["demand"])
+
+    def frac_close(a, b):
+        return np.isclose(a, b, rtol=1e-3, atol=2.0).mean()
+
+    assert frac_close(np.asarray(tr["reward"]), np.asarray(rew)) > 0.99
+    assert acts.std(axis=1).mean() > 0  # exploration noise live
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 @pytest.mark.parametrize("algo", ["td3", "sac"])
 def test_offpolicy_kernel_train_smoke(algo):
     """Full episode-chunked kernel-collection training on hardware: one

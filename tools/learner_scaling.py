@@ -25,6 +25,10 @@ U * num_envs * rollout_steps / wall. Shapes:
 - sac_fixedrr       SAC with updates_per_iter scaled so the gradient-
                     steps : env-steps ratio stays fixed at 1:256 — the
                     number comparable across batch sizes
+- sac_kernel / td3_kernel / ddpg_kernel / sac_kernel_fixedrr
+                    the same loops with episode-chunked Pallas
+                    collection (OffPolicyConfig(collect='kernel') —
+                    round 5; same grad:env ratio per updates_per_iter)
 
 Run on the TPU:  python tools/learner_scaling.py
 Env knobs: OGT_FAMILY=inv_management|newsvendor|net_inv_management
@@ -136,21 +140,28 @@ def measure_learner(env, params, shape, num_envs):
                 us_per_update=round(best / U * 1e6))
 
 
-def measure_offpolicy(env, params, num_envs, algo="sac", fixed_rr=False):
+def measure_offpolicy(env, params, num_envs, algo="sac", fixed_rr=False,
+                      collect="xla"):
     """SAC/TD3/DDPG through the full off-policy update (one env step per
     env + gradient step(s) per iteration, sharded replay). With
     ``fixed_rr`` the gradient-steps : env-steps ratio is held at 1:256
     (updates_per_iter scales with num_envs) so the number stays comparable
-    across batch sizes."""
+    across batch sizes. ``collect="kernel"`` measures the episode-chunked
+    Pallas collection path (one iteration = num_envs * horizon env steps
+    + horizon * updates_per_iter gradient steps — the SAME grad:env ratio
+    per updates_per_iter as the XLA rows)."""
     from or_gym_inventory_tpu.agents import off_policy as op
+    horizon = env.horizon(params)
     upi = max(1, num_envs // 256) if fixed_rr else 1
+    steps_per_iter = num_envs * (horizon if collect == "kernel" else 1)
     cfg = op.OffPolicyConfig(algo=algo, num_envs=num_envs,
-                             buffer_size=max(1 << 18, num_envs * 4),
+                             buffer_size=max(1 << 18, num_envs * 4,
+                                             steps_per_iter),
                              batch_size=256, start_steps=0,
-                             updates_per_iter=upi)
+                             updates_per_iter=upi, collect=collect)
     init, update, _ = op.make_offpolicy(env, params, cfg)
     state = jax.jit(init)(jax.random.PRNGKey(0))
-    U = max(2, min(MAX_U, TARGET_STEPS // (num_envs * 8)))
+    U = max(2, min(MAX_U, TARGET_STEPS // (steps_per_iter * 8)))
 
     def chunk(st, ks):
         def body(carry, k):
@@ -163,7 +174,7 @@ def measure_offpolicy(env, params, num_envs, algo="sac", fixed_rr=False):
     t0 = time.perf_counter()
     best = time_fn(jax.jit(chunk), (state, keys))
     compile_s = time.perf_counter() - t0 - 3 * best
-    steps = U * num_envs
+    steps = U * steps_per_iter
     return dict(updates_per_call=U, time_ms=round(best * 1e3, 2),
                 compile_s=round(compile_s, 1),
                 updates_per_iter=upi,
@@ -232,6 +243,12 @@ def main():
                 elif shape == "sac_fixedrr":
                     row = measure_offpolicy(env, params, num_envs, "sac",
                                             fixed_rr=True)
+                elif shape in ("sac_kernel", "td3_kernel", "ddpg_kernel"):
+                    row = measure_offpolicy(env, params, num_envs,
+                                            shape[:-7], collect="kernel")
+                elif shape == "sac_kernel_fixedrr":
+                    row = measure_offpolicy(env, params, num_envs, "sac",
+                                            fixed_rr=True, collect="kernel")
                 else:
                     row = measure_learner(env, params, shape, num_envs)
             except Exception as e:
