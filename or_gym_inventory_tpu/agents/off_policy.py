@@ -79,7 +79,9 @@ class OffPolicyConfig:
     # all num_envs*horizon transitions, then runs horizon*updates_per_iter
     # gradient updates (the SAME update:env-step ratio as the XLA path's
     # per-step interleave; only the data ordering is chunked). TPU-only;
-    # num_envs % 1024 == 0; buffer_size must hold one collection chunk.
+    # num_envs % 1024 == 0; buffer_size must hold one collection chunk
+    # (capacity is rounded down to a whole number of chunks so the ring
+    # write stays a contiguous DMA — see ReplayBuffer.insert_chunk).
     collect: str = struct.field(pytree_node=False, default="xla")
 
 
@@ -135,6 +137,31 @@ class ReplayBuffer:
             done=self.done.at[idx].set(done),
             disc=self.disc.at[idx].set(disc),
             ptr=(self.ptr + n) % size,
+            filled=jnp.minimum(self.filled + n, size))
+
+    def insert_chunk(self, obs, action, reward, next_obs, done, disc):
+        """Contiguous ring insert for the kernel-collection path: the
+        chunk size and capacity are STATIC with ``size % n == 0`` (the
+        pointer stays chunk-aligned, so the write never wraps mid-chunk)
+        and the write lowers to ``dynamic_update_slice`` — a straight DMA
+        instead of the row-scatter ``insert`` pays (measured 686 ms vs
+        25 ms for a 1.97M-row chunk; the scatter was the entire
+        throughput gap of the first kernel-collection measurement)."""
+        n = obs.shape[0]
+        size = self.obs.shape[0]
+        assert size % n == 0, (
+            f"insert_chunk needs capacity ({size}) % chunk ({n}) == 0")
+        p = self.ptr
+        return self.replace(
+            obs=jax.lax.dynamic_update_slice(
+                self.obs, obs.astype(jnp.float32), (p, 0)),
+            action=jax.lax.dynamic_update_slice(self.action, action, (p, 0)),
+            reward=jax.lax.dynamic_update_slice(self.reward, reward, (p,)),
+            next_obs=jax.lax.dynamic_update_slice(
+                self.next_obs, next_obs.astype(jnp.float32), (p, 0)),
+            done=jax.lax.dynamic_update_slice(self.done, done, (p,)),
+            disc=jax.lax.dynamic_update_slice(self.disc, disc, (p,)),
+            ptr=(p + n) % size,
             filled=jnp.minimum(self.filled + n, size))
 
     def sample(self, key, batch_size: int):
@@ -305,6 +332,12 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
             raise RuntimeError(
                 "collect='kernel' needs the TPU backend (Pallas trajectory "
                 "kernels); use collect='xla' elsewhere")
+        # round the capacity DOWN to a whole number of collection chunks:
+        # insert_chunk's chunk-aligned pointer turns the ring write into a
+        # contiguous dynamic_update_slice (28x faster than the row
+        # scatter at 65k-env chunks); >= one chunk is guaranteed above
+        buffer_local = (buffer_local // (n_local * horizon)) \
+            * (n_local * horizon)
 
     def init(key) -> OffPolicyState:
         # params (k1/k2) draw from the caller's key — under a mesh that key
@@ -392,9 +425,14 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
                 state.window, new)
         reward_n, next_obs_n, done_n, disc_n = nstep_aggregate(
             window["reward"], window["done"], window["next_obs"], cfg.gamma)
+        # contiguous chunk insert whenever the capacity divides evenly (the
+        # pointer then stays aligned — byte-identical to the row scatter,
+        # but a straight DMA; decisive at TPU-native batches)
+        ins = "insert_chunk" if buffer_local % n_local == 0 else "insert"
         if cfg.n_step == 1:
-            buffer = state.buffer.insert(window["obs"][0], window["action"][0],
-                                         reward_n, next_obs_n, done_n, disc_n)
+            buffer = getattr(state.buffer, ins)(
+                window["obs"][0], window["action"][0],
+                reward_n, next_obs_n, done_n, disc_n)
         else:
             # the window starts zero-initialized: its oldest slot only holds a
             # real transition once n_step-1 pushes have happened — inserting
@@ -403,8 +441,10 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
             window_full = state.step_idx >= cfg.n_step - 1
             buffer = jax.lax.cond(
                 window_full,
-                lambda b: b.insert(window["obs"][0], window["action"][0],
-                                   reward_n, next_obs_n, done_n, disc_n),
+                lambda b: getattr(b, ins)(window["obs"][0],
+                                          window["action"][0],
+                                          reward_n, next_obs_n, done_n,
+                                          disc_n),
                 lambda b: b, state.buffer)
         rms = state.rms.update(state.last_obs, axis_name) \
             if cfg.normalize_obs else state.rms
@@ -592,7 +632,7 @@ def make_offpolicy(env: Environment, env_params, cfg: OffPolicyConfig,
         reward = tr["reward"]                            # (T, B)
         T_h = reward.shape[0]
 
-        buffer = state.buffer.insert(*episode_transitions(
+        buffer = state.buffer.insert_chunk(*episode_transitions(
             obs_all, a_norm, reward, cfg.n_step, cfg.gamma))
         rms = state.rms.update(obs_all[:T_h].reshape(-1, obs_all.shape[-1]),
                                axis_name) if cfg.normalize_obs else state.rms

@@ -100,6 +100,18 @@ def test_episode_transitions_exact_fill():
     buf = op.ReplayBuffer.create(T * B, D, A)
     buf = buf.insert(*tup)
     assert int(buf.filled) == T * B and int(buf.ptr) == 0
+    # the contiguous chunk insert (what update_kernel uses) is
+    # byte-identical to the row-scatter insert at chunk-aligned pointers,
+    # including the ring wrap across repeated chunks
+    buf2 = op.ReplayBuffer.create(2 * T * B, D, A)
+    buf2 = buf2.insert_chunk(*tup)
+    ref2 = op.ReplayBuffer.create(2 * T * B, D, A).insert(*tup)
+    for f in ("obs", "action", "reward", "next_obs", "done", "disc",
+              "ptr", "filled"):
+        np.testing.assert_array_equal(np.asarray(getattr(buf2, f)),
+                                      np.asarray(getattr(ref2, f)), f)
+    buf3 = buf2.insert_chunk(*tup).insert_chunk(*tup)   # wraps to ptr=T*B
+    assert int(buf3.ptr) == T * B and int(buf3.filled) == 2 * T * B
     # oldest-first: row 0 is (t=0, env 0), the last row (t=T-1, env B-1)
     np.testing.assert_allclose(np.asarray(buf.obs[0]), obs_all[0, 0])
     np.testing.assert_allclose(np.asarray(buf.obs[-1]), obs_all[T - 1, -1])
