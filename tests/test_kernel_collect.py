@@ -321,6 +321,55 @@ def test_net_collect_kernel_pinned_by_xla_replay():
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="hardware PRNG needed (no interpret lowering)")
+@pytest.mark.parametrize("family", ["newsvendor", "net_inv_management"])
+def test_offpolicy_kernel_train_other_families(family):
+    """Kernel collection trains end to end on the Newsvendor and network
+    families too (IM is covered algo-parametrized below)."""
+    if family == "newsvendor":
+        from or_gym_inventory_tpu.envs import newsvendor as fam
+        params = fam.default_params(step_limit=8)
+    else:
+        from or_gym_inventory_tpu.envs import net_inv_management as fam
+        params = fam.default_params(num_periods=8)
+    horizon = fam.ENV.horizon(params)
+    B = 1024
+    cfg = op.OffPolicyConfig(algo="ddpg", collect="kernel", num_envs=B,
+                             buffer_size=B * horizon, batch_size=256,
+                             start_steps=0, pi_arch=(32, 32),
+                             q_arch=(32, 32))
+    state, eval_policy, metrics = op.train(
+        fam.ENV, params, cfg, jax.random.PRNGKey(0),
+        total_timesteps=2 * B * horizon, log_every=1)
+    assert np.isfinite(metrics["mean_step_reward"]).all()
+    assert int(state.buffer.filled) == B * horizon
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_offpolicy_kernel_trains_under_mesh():
+    """collect='kernel' composes with the data-parallel shard_map path
+    (1-device mesh on this container — the composition, per-shard
+    buffers and replica machinery are what's under test)."""
+    from or_gym_inventory_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 1  # one attached chip
+    params = im.default_params(periods=8)
+    B = 1024
+    cfg = op.OffPolicyConfig(algo="sac", collect="kernel", num_envs=B,
+                             buffer_size=B * 8, batch_size=128,
+                             start_steps=0, pi_arch=(32, 32),
+                             q_arch=(32, 32))
+    state, _, metrics = op.train(
+        im.ENV, params, cfg, jax.random.PRNGKey(0),
+        total_timesteps=2 * B * 8, log_every=1, mesh=mesh)
+    assert len(metrics["mean_step_reward"]) == 2
+    assert np.isfinite(metrics["mean_step_reward"]).all()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
 @pytest.mark.parametrize("algo", ["td3", "sac"])
 def test_offpolicy_kernel_train_smoke(algo):
     """Full episode-chunked kernel-collection training on hardware: one

@@ -41,6 +41,10 @@ ALGOS = tuple(os.environ.get("OGT_VC_ALGOS", "td3,sac").split(","))
 MODES = tuple(os.environ.get("OGT_VC_MODES", "xla,kernel").split(","))
 SEED = int(os.environ.get("OGT_VC_SEED", "0"))
 BUDGET = int(os.environ.get("OGT_VC_BUDGET", str(2_000_000)))
+# gradient updates per 1024-env iteration: 32 reproduces the benchmark
+# roster's 1:32 grad:env ratio (OFF_CFG num_envs=32, 1 update/iter) at
+# this batch, the regime whose quality RESULTS.md documents
+UPI = int(os.environ.get("OGT_VC_UPI", "32"))
 OUT = "tools/remeasure_logs/validate_kernel_collect.jsonl"
 
 PARAMS = im.default_params(backlog=True)
@@ -49,7 +53,7 @@ PARAMS = im.default_params(backlog=True)
 def run_row(algo, mode):
     cfg = op.OffPolicyConfig(algo=algo, collect=mode, num_envs=1024,
                              buffer_size=200_704,  # 1024-divisible, > chunk
-                             batch_size=256, updates_per_iter=1)
+                             batch_size=256, updates_per_iter=UPI)
     t0 = time.time()
     state, eval_policy, _ = op.train(
         im.ENV, PARAMS, cfg, jax.random.PRNGKey(SEED), BUDGET,
@@ -60,7 +64,8 @@ def run_row(algo, mode):
         (state.actor_params, state.rms),
         jax.numpy.asarray(4000 + np.arange(30)))
     totals = np.asarray(totals)
-    row = dict(algo=algo, collect=mode, budget=BUDGET,
+    row = dict(algo=algo, collect=mode, budget=BUDGET, seed=SEED,
+               updates_per_iter=UPI,
                avg_reward=round(float(totals.mean()), 1),
                eval_se=round(float(totals.std(ddof=1) / np.sqrt(30)), 1),
                train_wall_s=round(wall, 1),
