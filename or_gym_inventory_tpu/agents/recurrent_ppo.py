@@ -75,6 +75,94 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         a = networks.squash_action(raw, low, high)
         return a.astype(jnp.int32) if int_actions else a
 
+    if cfg.rollout not in ("xla", "kernel"):
+        raise ValueError(f"rollout must be 'xla' or 'kernel', got "
+                         f"{cfg.rollout!r}")
+    if cfg.rollout == "kernel":
+        if getattr(env, "name", None) != "inv_management":
+            raise NotImplementedError(
+                "RecurrentPPO rollout='kernel' currently supports the "
+                "InvManagement family (the LSTM trajectory kernel, "
+                "ops/pallas_episode_kernels.rollout_traj_im_lstm); got "
+                f"{getattr(env, 'name', None)!r}")
+        horizon = env.horizon(env_params)
+        if cfg.rollout_steps != horizon:
+            raise ValueError(
+                "rollout='kernel' runs episode-aligned updates: "
+                f"rollout_steps ({cfg.rollout_steps}) must equal the env "
+                f"horizon ({horizon})")
+        if n_envs_local % 1024:
+            raise ValueError(
+                "rollout='kernel' needs num_envs to be a multiple of 1024 "
+                f"(the kernel block size); got {n_envs_local} per shard")
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                "rollout='kernel' needs the TPU backend (Pallas episode "
+                "kernels); use rollout='xla' elsewhere")
+
+    def gae_step(c, inp):
+        next_adv, next_value = c
+        reward, done, value = inp
+        nd = 1.0 - done.astype(jnp.float32)
+        delta = reward + cfg.gamma * next_value - value
+        adv = delta + cfg.gamma * cfg.gae_lambda * nd * next_adv
+        return (adv, value), adv
+
+    def sgd_epochs(state, batch, init_carry, key, norm, n_envs):
+        """Epochs of env-sliced minibatch SGD with the LSTM re-run over
+        each slice's whole sequence — shared by both rollout backends."""
+        n_mb = cfg.num_minibatches
+        assert n_envs % n_mb == 0
+        envs_per_mb = n_envs // n_mb
+
+        def loss_fn(params, mb):
+            # re-run the LSTM over the whole sequence for this env slice
+            def cell(carry, inp):
+                obs, done_in = inp
+                carry, out = model.apply(params, carry, norm(obs), done_in)
+                return carry, out
+            _, (mean, log_std, value) = jax.lax.scan(
+                cell, mb["init_carry"], (mb["obs"], mb["done_in"]))
+            # log_std is a module param (act_dim,) stacked to (T, act_dim)
+            # by the scan; lift it to (T, mb, act_dim) to match mean
+            log_std = jnp.broadcast_to(log_std[:, None, :], mean.shape)
+            logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
+            ratio = jnp.exp(logp - mb["logp"])
+            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+            v_loss = 0.5 * ((value - mb["ret"]) ** 2).mean()
+            ent = networks.entropy_bonus(log_std).mean()
+            return pg + cfg.vf_coef * v_loss - cfg.ent_coef * ent, (pg, v_loss, ent)
+
+        def epoch(carry_in, ekey):
+            params, opt_state = carry_in
+            perm = jax.random.permutation(ekey, n_envs)
+
+            def minibatch(carry_in, mb_idx):
+                params, opt_state = carry_in
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * envs_per_mb, envs_per_mb)
+                mb = {k: v[:, idx] for k, v in batch.items()}
+                mb["init_carry"] = jax.tree_util.tree_map(
+                    lambda c: c[idx], init_carry)
+                grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(n_mb))
+            return (params, opt_state), aux
+
+        epoch_keys = jax.random.split(key, cfg.update_epochs)
+        (params, opt_state), aux = jax.lax.scan(
+            epoch, (state.params, state.opt_state), epoch_keys)
+        return params, opt_state, aux
+
     def init(key) -> RPPOTrainState:
         # params (pkey) draw from the caller's key — under a mesh that key
         # is REPLICATED so replicas start byte-identical; only the env-reset
@@ -141,74 +229,16 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
         _, (_, _, bootstrap) = model.apply(state.params, carry,
                                            norm(last_obs), last_done)
 
-        def gae_step(c, inp):
-            next_adv, next_value = c
-            reward, done, value = inp
-            nd = 1.0 - done.astype(jnp.float32)
-            delta = reward + cfg.gamma * next_value - value
-            adv = delta + cfg.gamma * cfg.gae_lambda * nd * next_adv
-            return (adv, value), adv
-
         values = tr["value"]
-        next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
         (_, _), advs = jax.lax.scan(
             gae_step, (jnp.zeros_like(bootstrap), bootstrap),
             (tr["reward"], tr["done"], values), reverse=True)
         returns = advs + values
 
-        n_mb = cfg.num_minibatches
-        assert n_envs % n_mb == 0
-        envs_per_mb = n_envs // n_mb
-
-        def loss_fn(params, mb):
-            # re-run the LSTM over the whole sequence for this env slice
-            def cell(carry, inp):
-                obs, done_in = inp
-                carry, out = model.apply(params, carry, norm(obs), done_in)
-                return carry, out
-            _, (mean, log_std, value) = jax.lax.scan(
-                cell, mb["init_carry"], (mb["obs"], mb["done_in"]))
-            # log_std is a module param (act_dim,) stacked to (T, act_dim)
-            # by the scan; lift it to (T, mb, act_dim) to match mean
-            log_std = jnp.broadcast_to(log_std[:, None, :], mean.shape)
-            logp = networks.gaussian_log_prob(mb["raw"], mean, log_std)
-            ratio = jnp.exp(logp - mb["logp"])
-            adv = (mb["adv"] - mb["adv"].mean()) / (mb["adv"].std() + 1e-8)
-            pg = -jnp.minimum(
-                ratio * adv,
-                jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
-            v_loss = 0.5 * ((value - mb["ret"]) ** 2).mean()
-            ent = networks.entropy_bonus(log_std).mean()
-            return pg + cfg.vf_coef * v_loss - cfg.ent_coef * ent, (pg, v_loss, ent)
-
         batch = dict(obs=tr["obs"], done_in=tr["done_in"], raw=tr["raw"],
                      logp=tr["logp"], adv=advs, ret=returns)
-
-        def epoch(carry_in, ekey):
-            params, opt_state = carry_in
-            perm = jax.random.permutation(ekey, n_envs)
-
-            def minibatch(carry_in, mb_idx):
-                params, opt_state = carry_in
-                idx = jax.lax.dynamic_slice_in_dim(
-                    perm, mb_idx * envs_per_mb, envs_per_mb)
-                mb = {k: v[:, idx] for k, v in batch.items()}
-                mb["init_carry"] = jax.tree_util.tree_map(
-                    lambda c: c[idx], init_carry)
-                grads, aux = jax.grad(loss_fn, has_aux=True)(params, mb)
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), aux
-
-            (params, opt_state), aux = jax.lax.scan(
-                minibatch, (params, opt_state), jnp.arange(n_mb))
-            return (params, opt_state), aux
-
-        epoch_keys = jax.random.split(key, cfg.update_epochs)
-        (params, opt_state), aux = jax.lax.scan(
-            epoch, (state.params, state.opt_state), epoch_keys)
+        params, opt_state, aux = sgd_epochs(state, batch, init_carry, key,
+                                            norm, n_envs)
 
         rms = state.rms.update(tr["obs"].reshape(-1, obs_dim), axis_name) \
             if cfg.normalize_obs else state.rms
@@ -222,6 +252,98 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
             params=params, opt_state=opt_state, rms=rms, ret_rms=ret_rms,
             ret_accum=ret_accum, env_state=env_state,
             last_obs=last_obs, last_done=last_done, carry=carry,
+            update_idx=state.update_idx + 1)
+        return new_state, metrics
+
+    # ------------------- kernel-rollout update (TPU, IM family)
+    def update_kernel(state: RPPOTrainState, key: jax.Array):
+        """One episode-aligned recurrent-PPO update off the LSTM
+        trajectory-emitting Pallas rollout: encoder + recurrent cell +
+        mean head run in-kernel with the (hidden, lanes) carry
+        VMEM-resident and Box-Muller exploration noise; the dumped
+        streams reconstruct the obs batch, and logp/values come from the
+        SAME XLA carry-threaded re-forward the SGD epochs run (zero
+        initial carry, done_in[0]=True — episodes start fresh each
+        update), so logp_old/logp_new are self-consistent by
+        construction."""
+        from or_gym_inventory_tpu.envs import inv_management as fam_env
+        from or_gym_inventory_tpu.ops.pallas_episode_kernels import (
+            fold_lstm_actor, rollout_traj_im_lstm)
+        n_envs = state.last_obs.shape[0]
+        T = cfg.rollout_steps
+        norm = state.rms.normalize if cfg.normalize_obs else \
+            (lambda x: x.astype(jnp.float32))
+
+        seed_key, key = jax.random.split(key)
+        seed = jax.random.randint(seed_key, (), 0, 2 ** 31 - 1)
+        actor = fold_lstm_actor(
+            cfg, state.params, state.rms if cfg.normalize_obs else None)
+        log_std = state.params["params"]["log_std"]
+        tr = rollout_traj_im_lstm(env_params, actor, log_std, seed, n_envs)
+        obs_all = fam_env.assemble_obs_from_streams(
+            env_params, tr["inv"], tr["actions"])         # (T+1, B, D) i32
+        raw = tr["raw"].transpose(0, 2, 1)                # (T, B, act_dim)
+        reward_raw = tr["reward"]                         # (T, B)
+
+        # reward-normalization statistics: episode-aligned accumulator
+        # (VecNormalize order — the full-episode return enters ret_rms)
+        def acc_step(acc, r):
+            acc = acc * cfg.gamma + r
+            return acc, acc
+
+        _, ret_accs = jax.lax.scan(
+            acc_step, jnp.zeros((n_envs,), jnp.float32), reward_raw)
+        if cfg.normalize_reward:
+            ret_rms = state.ret_rms.update(ret_accs.reshape(-1, 1),
+                                           axis_name)
+            scale = jax.lax.rsqrt(ret_rms.var[0] + 1e-8)
+            reward = jnp.clip(reward_raw * scale, -10.0, 10.0)
+        else:
+            ret_rms = state.ret_rms
+            reward = reward_raw
+
+        obs_seq = obs_all[:T]
+        done_in = jnp.zeros((T, n_envs), bool).at[0].set(True)
+        init_carry = model.initial_carry(n_envs)
+
+        def cell(carry, inp):
+            obs, d = inp
+            carry, out = model.apply(state.params, carry, norm(obs), d)
+            return carry, out
+
+        carry_T, (mean, log_std_b, values) = jax.lax.scan(
+            cell, init_carry, (obs_seq, done_in))
+        log_std_b = jnp.broadcast_to(log_std_b[:, None, :], mean.shape)
+        logp = networks.gaussian_log_prob(raw, mean, log_std_b)
+        # truncation bootstrap: the XLA path's convention — apply on the
+        # final obs with done=True (fresh carry at the episode boundary)
+        _, (_, _, bootstrap) = model.apply(
+            state.params, carry_T, norm(obs_all[T]),
+            jnp.ones((n_envs,), bool))
+        done = jnp.zeros((T, n_envs), bool).at[T - 1].set(True)
+        (_, _), advs = jax.lax.scan(
+            gae_step, (jnp.zeros_like(bootstrap), bootstrap),
+            (reward, done, values), reverse=True)
+        returns = advs + values
+
+        batch = dict(obs=obs_seq, done_in=done_in, raw=raw, logp=logp,
+                     adv=advs, ret=returns)
+        params, opt_state, aux = sgd_epochs(state, batch, init_carry, key,
+                                            norm, n_envs)
+
+        rms = state.rms.update(obs_seq.reshape(-1, obs_dim), axis_name) \
+            if cfg.normalize_obs else state.rms
+        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+        mean_step_reward = jnp.mean(reward_raw)
+        if axis_name is not None:
+            mean_step_reward = jax.lax.pmean(mean_step_reward, axis_name)
+        metrics = dict(mean_step_reward=mean_step_reward,
+                       pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
+        new_state = RPPOTrainState(
+            params=params, opt_state=opt_state, rms=rms, ret_rms=ret_rms,
+            ret_accum=jnp.zeros_like(state.ret_accum),
+            env_state=state.env_state, last_obs=state.last_obs,
+            last_done=state.last_done, carry=state.carry,
             update_idx=state.update_idx + 1)
         return new_state, metrics
 
@@ -254,7 +376,8 @@ def make_train_fns(env: Environment, env_params, cfg: RecurrentPPOConfig,
             None, length=horizon)
         return jnp.sum(rewards, axis=0)
 
-    return init, update, eval_episodes
+    return init, (update_kernel if cfg.rollout == "kernel" else update), \
+        eval_episodes
 
 
 def train(env: Environment, env_params, cfg: RecurrentPPOConfig,

@@ -1480,6 +1480,136 @@ def sample_lstm_streams_debug_im(params: InvManagementParams, actor, seed,
             dems.reshape(T, batch))
 
 
+def _im_lstm_traj_kernel(params: InvManagementParams, num_steps, spec,
+                         precision, n_enc, hidden, *refs):
+    """LSTM trajectory-emitting rollout (the recurrent analogue of
+    `_im_traj_kernel`): stochastic LSTM actor — encoder + recurrent cell
+    + mean head as MXU matmuls with the (hidden, lanes) carry
+    VMEM-resident, exploration noise from the in-kernel Box-Muller
+    sampler — dumping the training streams (start-of-period inv,
+    env-consumed int actions, pre-squash raws, alpha^t rewards,
+    demand). Feeds RecurrentPPOConfig(rollout="kernel")."""
+    seed_ref = refs[0]
+    enc_refs = refs[1:1 + 2 * n_enc]
+    wx_ref, wh_ref, bh_ref, wm_ref, bm_ref = refs[1 + 2 * n_enc:
+                                                  6 + 2 * n_enc]
+    std_ref = refs[6 + 2 * n_enc]
+    inv_ref, acts_ref, raw_ref, rew_ref, dems_ref = refs[7 + 2 * n_enc:]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    m1, lt = params.m1, params.lt_max
+    tile = rew_ref.shape[1:]
+    n = 1
+    for s in tile:
+        n *= s
+    zero = jnp.zeros(tile, jnp.int32)
+    inv = [jnp.full(tile, int(i0), jnp.int32) for i0 in params.I0]
+    bkl = [zero for _ in range(params.num_stages)]
+    RH = [zero for _ in range(lt * m1)]
+    AH = [zero for _ in range(lt * m1)]
+    H = jnp.zeros((hidden, n), jnp.float32)
+    C = jnp.zeros((hidden, n), jnp.float32)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                  precision=precision)
+    for t in range(num_steps):
+        # PRNG order per period: demand draw, then one (m1, n) noise draw
+        dems = _im_sample_demand(params, tile, t, spec, 1)
+        dems_ref[t] = dems[0]
+        for i in range(m1):
+            inv_ref[t * m1 + i] = inv[i]
+        obs_rows = _im_obs_rows(params, t, inv, AH)
+        X = jnp.stack([r.astype(jnp.float32) for r in obs_rows]).reshape(
+            len(obs_rows), n)
+        for i in range(n_enc):
+            X = jnp.tanh(dot(enc_refs[2 * i][...], X)
+                         + enc_refs[2 * i + 1][...])
+        G = dot(wx_ref[...], X) + dot(wh_ref[...], H) + bh_ref[...]
+        ig = jax.nn.sigmoid(G[0:hidden])
+        fg = jax.nn.sigmoid(G[hidden:2 * hidden])
+        gg = jnp.tanh(G[2 * hidden:3 * hidden])
+        og = jax.nn.sigmoid(G[3 * hidden:4 * hidden])
+        C = fg * C + ig * gg
+        H = og * jnp.tanh(C)
+        M = dot(wm_ref[...], H) + bm_ref[...]
+        M = M + std_ref[...] * _normal01(M.shape)
+        S = jnp.tanh(M) + 1.0
+        acts = []
+        for i in range(m1):
+            raw_ref[t * m1 + i] = M[i:i + 1].reshape(tile)
+            a = (S[i:i + 1] * (0.5 * float(params.c[i]))
+                 ).astype(jnp.int32).reshape(tile)
+            acts_ref[t * m1 + i] = a
+            acts.append(a)
+        inv, bkl, RH, r_req, profit = _im_step_math(
+            params, t, inv, bkl, RH, acts, dems[0])
+        if lt:
+            AH = r_req + AH[: (lt - 1) * m1]
+        rew_ref[t] = (params.alpha ** t) * profit
+    for i in range(m1):  # final snapshot: the bootstrap obs's on-hand
+        inv_ref[num_steps * m1 + i] = inv[i]
+
+
+def rollout_traj_im_lstm(params: InvManagementParams, actor, log_std, seed,
+                         batch: int, block: int = 1024,
+                         interpret: bool = False, precision=None):
+    """One full stochastic-LSTM-policy episode per lane with the training
+    streams written to HBM. ``actor`` from ``fold_lstm_actor`` (obs
+    normalization pre-folded). Matmuls default to DEFAULT (bf16-class)
+    precision: logp_old/logp_new stay self-consistent by construction
+    regardless — BOTH come from the XLA carry-threaded re-forward, not
+    the kernel — so the kernel's sampling mean's offset from the
+    recomputed policy is bounded off-policyness the PPO clip absorbs
+    (reward parity validated, tools/validate_kernel_ppo.py rppo rows);
+    and HIGHEST's ~3x larger Mosaic program crashes the relay
+    compile-helper at the benchmark LSTM arch (128-hidden x T=30) even
+    single-tile. Returns ``inv (T+1, m1, batch) i32``, ``actions (T,
+    m1, batch) i32``, ``raw (T, m1, batch) f32``, ``reward (T, batch)
+    f32``, ``demand (T, batch) i32``."""
+    assert batch % block == 0 and block % 1024 == 0, (batch, block)
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    sub = block // 128
+    T, m1 = params.periods, params.m1
+    spec = _im_demand_spec(params)
+    hidden = actor["wh"].shape[1]
+    n_enc = len(actor["enc"])
+    kernel = partial(_im_lstm_traj_kernel, params, T, spec, precision,
+                     n_enc, hidden)
+
+    def tspec(rows):
+        return pl.BlockSpec((rows, sub, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        shp = tuple(a.shape)
+        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    weights = [w for pair in actor["enc"] for w in pair] + [
+        actor["wx"], actor["wh"], actor["bh"], actor["wm"], actor["bm"]]
+    std = clipped_std(log_std)
+    out_rows = [(T + 1) * m1, T * m1, T * m1, T, T]
+    out_dt = [jnp.int32, jnp.int32, jnp.float32, jnp.float32, jnp.int32]
+    inv, acts, raw, rew, dems = pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [wspec(w) for w in weights] + [wspec(std)],
+        out_specs=[tspec(r) for r in out_rows],
+        out_shape=[jax.ShapeDtypeStruct((r, batch // 128, 128), dt)
+                   for r, dt in zip(out_rows, out_dt)],
+        # the (hidden, lanes) H/C carries + the 4h gate intermediate +
+        # (2T+1)*m1 + 2T output rows exceed the 16M default scoped-vmem
+        # budget at the benchmark horizon (T=50 overflowed it by 792K)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *weights, std)
+    return dict(inv=inv.reshape(T + 1, m1, batch),
+                actions=acts.reshape(T, m1, batch),
+                raw=raw.reshape(T, m1, batch),
+                reward=rew.reshape(T, batch),
+                demand=dems.reshape(T, batch))
+
+
 # ------------------- trajectory-emitting rollout (kernel experience gen)
 #
 # The policy-in-kernel evaluators above are returns-only by design; the

@@ -492,3 +492,74 @@ def test_kernel_ppo_update_runs_and_learns_signal():
     assert np.abs(np.asarray(l1) - np.asarray(l0)).max() > 0
     assert float(new_state.rms.count) > float(state.rms.count)
     assert int(new_state.update_idx) == U
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_lstm_traj_kernel_pinned_by_xla_replay():
+    """The LSTM trajectory kernel (rollout_traj_im_lstm): replaying the
+    dumped (actions, demand) streams through the XLA step_with_demand
+    chain reproduces the dumped inv stream (bit-exact int state) and
+    rewards; the dumped raws squash to the dumped int actions; the
+    exploration noise is live."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rp
+    from or_gym_inventory_tpu.ops import pallas_episode_kernels as pek
+    params = im.default_params(periods=12)
+    cfg = rp.RecurrentPPOConfig(hidden=64, encoder=(32,))
+    model = rp._make_model(im.ENV, params, cfg)
+    obs_dim = im.ENV.observation_space(params).shape[0]
+    mp = model.init(jax.random.PRNGKey(11), model.initial_carry(1),
+                    jnp.zeros((1, obs_dim), jnp.float32))
+    rms = rp.RunningMeanStd.create(obs_dim)
+    rms = rms.update(50.0 + 20.0 * jax.random.normal(
+        jax.random.PRNGKey(12), (256, obs_dim)))
+    actor = pek.fold_lstm_actor(cfg, mp, rms)
+    log_std = mp["params"]["log_std"]
+    B = 1024
+    tr = pek.rollout_traj_im_lstm(params, actor, log_std,
+                                  jnp.asarray(67, jnp.int32), B)
+    acts = np.asarray(tr["actions"])
+    dems = np.asarray(tr["demand"])
+    obs_all, rew, final_inv = _replay_chain(params, acts, dems)
+    inv = np.asarray(tr["inv"])
+    np.testing.assert_array_equal(inv[-1], np.asarray(final_inv))
+    np.testing.assert_array_equal(
+        inv[:-1], np.asarray(obs_all)[:-1, :, :params.m1].transpose(0, 2, 1))
+    np.testing.assert_allclose(np.asarray(tr["reward"]), np.asarray(rew),
+                               rtol=1e-5, atol=1e-2)
+    c = np.asarray(params.c, np.float32)
+    a_re = ((np.tanh(np.asarray(tr["raw"]).transpose(0, 2, 1)) + 1.0)
+            * 0.5 * c).astype(np.int32)
+    assert (a_re == acts.transpose(0, 2, 1)).mean() > 0.999
+    assert acts.std(axis=-1).mean() > 0
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_recurrent_kernel_ppo_update_runs_and_learns_signal():
+    """Full kernel-rollout recurrent PPO: episode-aligned updates through
+    make_train_fns(rollout='kernel') — finite losses, parameters move,
+    normalization statistics update, and the trained policy evaluates
+    through the carry-threading evaluator."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rp
+    params = im.default_params(periods=12)
+    cfg = rp.RecurrentPPOConfig(rollout="kernel", num_envs=1024,
+                                rollout_steps=12, num_minibatches=4,
+                                update_epochs=2, hidden=64, encoder=(32,))
+    U = 3
+    init, update, eval_episodes = rp.make_train_fns(im.ENV, params, cfg, U)
+    state = jax.jit(init)(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
+    new_state, ms = chunk(state, jax.random.split(jax.random.PRNGKey(1), U))
+    for k in ("pg_loss", "v_loss", "entropy", "mean_step_reward"):
+        assert np.isfinite(np.asarray(ms[k])).all(), k
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert np.abs(np.asarray(l1) - np.asarray(l0)).max() > 0
+    assert float(new_state.rms.count) > float(state.rms.count)
+    assert int(new_state.update_idx) == U
+    totals = jax.jit(eval_episodes, static_argnums=3)(
+        new_state.params, new_state.rms, jax.random.PRNGKey(2), 64)
+    assert np.isfinite(np.asarray(totals)).all()

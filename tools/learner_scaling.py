@@ -182,6 +182,31 @@ def measure_offpolicy(env, params, num_envs, algo="sac", fixed_rr=False,
                 us_per_update=round(best / U * 1e6))
 
 
+def measure_recurrent(env, params, num_envs, kernel=False):
+    """Recurrent PPO (the benchmark PPO_LSTM arch: 64-enc / 128-hidden)
+    through the full update — XLA carry-threading rollout, or the LSTM
+    trajectory-emitting kernel (rollout='kernel', episode-aligned)."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rp
+    horizon = env.horizon(params)
+    steps = horizon if kernel else ROLLOUT
+    cfg = rp.RecurrentPPOConfig(num_envs=num_envs, rollout_steps=steps,
+                                num_minibatches=8, update_epochs=4,
+                                rollout=("kernel" if kernel else "xla"))
+    U = min(MAX_U, max(2, TARGET_STEPS // (num_envs * steps)))
+    init, update, _ = rp.make_train_fns(env, params, cfg, U)
+    state = jax.jit(init)(jax.random.PRNGKey(0))
+    chunk = jax.jit(lambda st, ks: jax.lax.scan(update, st, ks))
+    keys = jax.random.split(jax.random.PRNGKey(1), U)
+    t0 = time.perf_counter()
+    best = time_fn(lambda st, ks: chunk(st, ks)[1]["pg_loss"], (state, keys))
+    compile_s = time.perf_counter() - t0 - 3 * best
+    n_steps = U * num_envs * steps
+    return dict(updates_per_call=U, time_ms=round(best * 1e3, 2),
+                compile_s=round(compile_s, 1),
+                trained_steps_per_s=round(n_steps / best),
+                us_per_update=round(best / U * 1e6))
+
+
 def measure_rollout_only(env, params, num_envs):
     """Experience generation alone: the same fused policy+env scan the
     update starts with (policy inference + env step + auto-reset), no SGD."""
@@ -249,6 +274,11 @@ def main():
                 elif shape == "sac_kernel_fixedrr":
                     row = measure_offpolicy(env, params, num_envs, "sac",
                                             fixed_rr=True, collect="kernel")
+                elif shape == "rppo":
+                    row = measure_recurrent(env, params, num_envs)
+                elif shape == "rppo_kernel":
+                    row = measure_recurrent(env, params, num_envs,
+                                            kernel=True)
                 else:
                     row = measure_learner(env, params, shape, num_envs)
             except Exception as e:

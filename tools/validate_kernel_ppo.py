@@ -72,6 +72,32 @@ def run_row(name, cfg):
     return row
 
 
+def run_rppo_row(name, rollout):
+    """Recurrent PPO (benchmark PPO_LSTM arch) xla-vs-kernel: both rows
+    evaluated identically through the carry-threading deterministic
+    evaluator (64 envs, fixed key) — a head-to-head parity check."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rp
+    cfg = rp.RecurrentPPOConfig(num_envs=1024, rollout_steps=50,
+                                num_minibatches=8, update_epochs=4,
+                                rollout=rollout)
+    t0 = time.time()
+    state, eval_episodes, _ = rp.train(im.ENV, PARAMS, cfg,
+                                       jax.random.PRNGKey(SEED), BUDGET)
+    wall = time.time() - t0
+    totals = np.asarray(jax.jit(eval_episodes, static_argnums=3)(
+        state.params, state.rms, jax.random.PRNGKey(4000), 64))
+    row = dict(row=name, rollout=rollout, budget=BUDGET,
+               avg_reward=round(float(totals.mean()), 1),
+               eval_se=round(float(totals.std(ddof=1) / np.sqrt(64)), 1),
+               train_wall_s=round(wall, 1),
+               trained_steps_per_s=round(BUDGET / wall))
+    print(json.dumps(row), flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    return row
+
+
 def main():
     print(json.dumps({"protocol": "IM-backlog periods=50, eval 30 eps "
                       "seeds 4000+, num_envs=1024 rollout_steps=50",
@@ -83,6 +109,10 @@ def main():
     if "kernel_bf16" in ROWS:
         run_row("kernel_bf16", BASE.replace(rollout="kernel",
                                             compute_dtype="bfloat16"))
+    if "rppo_xla" in ROWS:
+        run_rppo_row("rppo_xla", "xla")
+    if "rppo_kernel" in ROWS:
+        run_rppo_row("rppo_kernel", "kernel")
 
 
 if __name__ == "__main__":
