@@ -67,6 +67,11 @@ SHAPES = tuple(os.environ.get(
     "OGT_SHAPES", "rollout_only,a2c,a2c_mb32,ppo").split(","))
 TARGET_STEPS = int(os.environ.get("OGT_TARGET_STEPS", str(8 << 20)))
 MAX_U = int(os.environ.get("OGT_MAX_U", "16"))
+# off-policy actor width override (e.g. "128,128") — the network-family
+# trajectory kernel crosses the relay compile-helper envelope at the
+# SB3-default 256-wide actor, so its kernel/xla pair measures at 128
+PI_ARCH = tuple(int(x) for x in os.environ["OGT_PI_ARCH"].split(",")) \
+    if os.environ.get("OGT_PI_ARCH") else None
 
 _FAMILIES = {
     "inv_management": (im.ENV, im.default_params),
@@ -154,11 +159,13 @@ def measure_offpolicy(env, params, num_envs, algo="sac", fixed_rr=False,
     horizon = env.horizon(params)
     upi = max(1, num_envs // 256) if fixed_rr else 1
     steps_per_iter = num_envs * (horizon if collect == "kernel" else 1)
+    extra = dict(pi_arch=PI_ARCH) if PI_ARCH else {}
     cfg = op.OffPolicyConfig(algo=algo, num_envs=num_envs,
                              buffer_size=max(1 << 18, num_envs * 4,
                                              steps_per_iter),
                              batch_size=256, start_steps=0,
-                             updates_per_iter=upi, collect=collect)
+                             updates_per_iter=upi, collect=collect,
+                             **extra)
     init, update, _ = op.make_offpolicy(env, params, cfg)
     state = jax.jit(init)(jax.random.PRNGKey(0))
     U = max(2, min(MAX_U, TARGET_STEPS // (steps_per_iter * 8)))
