@@ -563,3 +563,24 @@ def test_recurrent_kernel_ppo_update_runs_and_learns_signal():
     totals = jax.jit(eval_episodes, static_argnums=3)(
         new_state.params, new_state.rms, jax.random.PRNGKey(2), 64)
     assert np.isfinite(np.asarray(totals)).all()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG needed (no interpret lowering)")
+def test_recurrent_kernel_ppo_trains_under_mesh():
+    """RecurrentPPO rollout='kernel' composes with the data-parallel
+    shard_map path (1-device mesh on this container)."""
+    from or_gym_inventory_tpu.agents import recurrent_ppo as rp
+    from or_gym_inventory_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 1
+    params = im.default_params(periods=12)
+    cfg = rp.RecurrentPPOConfig(rollout="kernel", num_envs=1024,
+                                rollout_steps=12, num_minibatches=4,
+                                update_epochs=2, hidden=64, encoder=(32,))
+    state, _, metrics = rp.train(im.ENV, params, cfg,
+                                 jax.random.PRNGKey(0),
+                                 total_timesteps=1024 * 12 * 2, mesh=mesh)
+    assert len(metrics["mean_step_reward"]) == 2
+    assert np.isfinite(np.asarray(metrics["pg_loss"])).all()
